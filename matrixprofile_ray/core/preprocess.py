@@ -1,0 +1,100 @@
+"""Series preprocessing: windowed imputation + constant-window noise.
+
+Parity target: reference preprocess.py:91-270. ``impute_missing`` is the
+gap-fill semantics for the rollup pipeline (north rule): NaN/Inf buckets are
+filled from the window statistic in a forward (or backward) sweep, with the
+endpoints seeded from the nearest finite value.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "is_subsequence_constant",
+    "add_noise_to_series",
+    "impute_missing",
+    "preprocess",
+]
+
+_METHODS = {"mean": np.mean, "median": np.median, "min": np.min, "max": np.max}
+_DIRECTIONS = {"forward", "fwd", "f", "backward", "bwd", "b"}
+
+
+def is_subsequence_constant(subsequence: np.ndarray) -> bool:
+    a = np.asarray(subsequence)
+    return bool(np.all(a == a[0]))
+
+
+def add_noise_to_series(series: np.ndarray, rng: np.random.Generator | None = None) -> np.ndarray:
+    """Add tiny uniform noise (breaks σ=0 windows). Seeded rng for determinism."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    a = np.array(series, dtype="d", copy=True)
+    return a + rng.uniform(0, 0.0000009, size=len(a))
+
+
+def impute_missing(
+    ts: np.ndarray, window: int, method: str = "mean", direction: str = "forward"
+) -> np.ndarray:
+    """Windowed fill of NaN/Inf values (returns a copy)."""
+    if method not in _METHODS:
+        raise ValueError(
+            "invalid imputation method! valid include options: "
+            + ", ".join(_METHODS)
+        )
+    if direction not in _DIRECTIONS:
+        raise ValueError(
+            "invalid imputation direction! valid include options: "
+            + ", ".join(sorted(_DIRECTIONS))
+        )
+    if not isinstance(window, int):
+        raise ValueError("window is not an integer!")
+
+    temp = np.array(ts, dtype="d", copy=True)
+    func = _METHODS[method]
+    bad = ~np.isfinite(temp)
+
+    if bad.all():
+        return temp
+    # endpoints seeded from the nearest finite value
+    if bad[0]:
+        temp[0] = temp[~bad][0]
+        bad = ~np.isfinite(temp)
+    if bad[-1]:
+        temp[-1] = temp[~bad][-1]
+        bad = ~np.isfinite(temp)
+
+    if direction.startswith("f"):
+        index_order = range(len(temp) - window + 1)
+    else:
+        index_order = range(len(temp) - window + 1, 0, -1)
+
+    for start in index_order:
+        end = start + window
+        window_bad = bad[start:end]
+        if window_bad.any():
+            stat = func(temp[start:end][~window_bad])
+            temp[start:end][window_bad] = stat
+            bad = ~np.isfinite(temp)
+    return temp
+
+
+def preprocess(
+    ts: np.ndarray,
+    window: int,
+    impute_method: str = "mean",
+    impute_direction: str = "forward",
+    add_noise: bool = True,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Impute missing values, then de-flatten constant windows with noise."""
+    temp = impute_missing(ts, window, method=impute_method, direction=impute_direction)
+    if add_noise:
+        if rng is None:
+            rng = np.random.default_rng(0)
+        for start in range(len(temp) - window + 1):
+            end = start + window
+            if is_subsequence_constant(temp[start:end]):
+                temp[start:end] = add_noise_to_series(temp[start:end], rng=rng)
+    return temp

@@ -1,0 +1,83 @@
+"""STAMPI: incremental matrix-profile maintenance for appended points.
+
+The reference library has no STAMPI (its stomp.py docstring mentions Ray but
+v1 ships none); this follows the published STAMPI construction (Yeh et al.,
+"Matrix Profile I", ICDM 2016 §V-D) on top of the same primitives the
+reference uses: appending one point creates exactly one new subsequence whose
+distance profile is computed with MASS, existing profile entries take an
+elementwise min against it, and the new entry is the min of that profile with
+the self-join exclusion zone applied (ez = ceil(w/2), matching stomp.py:276).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from matrixprofile_ray.core import mathutil
+from matrixprofile_ray.core.mass2 import mass2
+from matrixprofile_ray.core.stomp import stomp
+
+__all__ = ["stampi_init", "stampi_append"]
+
+
+def stampi_init(ts: np.ndarray, w: int) -> dict:
+    """Bootstrap incremental state from a batch STOMP run."""
+    ts = np.asarray(ts, dtype="d")
+    state = {
+        "ts": ts,
+        "w": w,
+        "ez": int(np.ceil(w / 2.0)),
+        "mp": np.empty(0, dtype="d"),
+        "pi": np.empty(0, dtype=np.int64),
+        "algorithm": "stampi",
+    }
+    if len(ts) >= 2 * w:
+        profile = stomp(ts, w)
+        state["mp"] = profile["mp"]
+        state["pi"] = profile["pi"]
+    return state
+
+
+def stampi_append(state: dict, value: float) -> dict:
+    """Append one point and update the profile in O(n log n).
+
+    Mutates and returns ``state``. The matrix profile stays exact (equal to a
+    batch recomputation up to floating-point noise in the MASS FFT).
+    """
+    w = state["w"]
+    ez = state["ez"]
+    ts = np.append(state["ts"], np.float64(value))
+    state["ts"] = ts
+    n = len(ts)
+    if n < 2 * w:
+        return state
+    if len(state["mp"]) == 0:
+        profile = stomp(ts, w)
+        state["mp"] = profile["mp"]
+        state["pi"] = profile["pi"]
+        return state
+
+    new_idx = n - w
+    query = ts[new_idx:]
+    dist = np.real(mass2(ts, query))
+
+    # existing entries may now prefer the new subsequence
+    head = dist[:new_idx]
+    mask = np.zeros(new_idx, dtype=bool)
+    cutoff = max(0, new_idx - ez)
+    mask[:cutoff] = head[:cutoff] < state["mp"][:new_idx][:cutoff]
+    mp = np.append(state["mp"], np.inf)
+    pi = np.append(state["pi"], 0)
+    mp[:cutoff][mask[:cutoff]] = head[:cutoff][mask[:cutoff]]
+    pi[:cutoff][mask[:cutoff]] = new_idx
+
+    # the new subsequence's own nearest neighbor
+    own = dist.copy()
+    mathutil.apply_exclusion_zone(ez, False, w, n, new_idx, own)
+    nn = int(np.argmin(own))
+    mp[new_idx] = own[nn]
+    pi[new_idx] = nn
+
+    state["mp"] = mp
+    state["pi"] = pi
+    return state
