@@ -9,6 +9,10 @@ in blocks of diagonals so every step is a large numpy kernel:
     cov(d, o) = cov(d, 0) + Σ_{k=1..o} df[k]·dg[k+d] + df[k+d]·dg[k]
     corr(o, o+d) = cov(d, o) · sig[o] · sig[o+d]
 
+All shifted-array accesses are contiguous slices (diagonal d reads
+dg[d:d+len]), so the block matrices are built with memcpy slice assignments
+into preallocated buffers — no fancy indexing in the hot path.
+
 Tie-breaking matches the reference's sequential update order exactly
 (diagonals ascending; within one diagonal the "col" update at offset o-d
 precedes the "row" update at offset o), which the tiny-fixture index arrays
@@ -25,8 +29,8 @@ from matrixprofile_ray.core.moving import muinvn, rolling_window
 
 __all__ = ["mpx", "mpx_ab"]
 
-# Cap on temporary cells per diagonal block (each temp is ~8 bytes/cell).
-_BLOCK_CELLS = 4_000_000
+# Cap on temporary cells per diagonal block (each temp ~8 bytes/cell).
+_BLOCK_CELLS = 2_000_000
 
 
 def _diffs(ts: np.ndarray, mu: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
@@ -41,6 +45,70 @@ def _diffs(ts: np.ndarray, mu: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarr
     return df, dg
 
 
+class _Scratch:
+    """Preallocated per-block buffers, reused across blocks/calls."""
+
+    def __init__(self, nrows: int, width: int, out_len: int):
+        self.sh_dg = np.empty((nrows, width))
+        self.sh_df = np.empty((nrows, width))
+        self.sh_sig = np.zeros((nrows, width))
+        self.corr = np.empty((nrows, width))
+        self.shifted = np.full((nrows, out_len), -np.inf)
+
+
+def _block_corr(
+    scratch: _Scratch,
+    diags: np.ndarray,
+    cov0: np.ndarray,
+    df_o: np.ndarray,
+    dg_o: np.ndarray,
+    sig_o: np.ndarray,
+    df_i: np.ndarray,
+    dg_i: np.ndarray,
+    sig_i: np.ndarray,
+    width: int,
+) -> np.ndarray:
+    """Correlation block: row j holds corr(o, o + diags[j]) padded with -inf.
+
+    Outer series is indexed at o + diag (suffix _o), inner at o (suffix _i);
+    self-joins pass the same arrays for both.
+    """
+    nblk = len(diags)
+    plen_o = sig_o.shape[0]
+    sh_dg = scratch.sh_dg[:nblk, :width]
+    sh_df = scratch.sh_df[:nblk, :width]
+    sh_sig = scratch.sh_sig[:nblk, :width]
+    corr = scratch.corr[:nblk, :width]
+
+    lens = np.minimum(plen_o - diags, sig_i.shape[0])
+    for j in range(nblk):
+        d, ln = int(diags[j]), int(lens[j])
+        sh_dg[j, :ln] = dg_o[d : d + ln]
+        sh_df[j, :ln] = df_o[d : d + ln]
+        sh_sig[j, :ln] = sig_o[d : d + ln]
+        if ln < width:
+            # zero padding: keeps the (overwritten-below) suffix finite so
+            # cumsum/multiply don't spew NaN warnings
+            sh_dg[j, ln:] = 0.0
+            sh_df[j, ln:] = 0.0
+            sh_sig[j, ln:] = 0.0
+
+    # inc = df_i·dg_o[shift] + df_o[shift]·dg_i, cumulative along the diagonal
+    np.multiply(sh_dg, df_i[:width][None, :], out=corr)
+    sh_df *= dg_i[:width][None, :]
+    corr += sh_df
+    corr[:, 0] = 0.0
+    np.cumsum(corr, axis=1, out=corr)
+    corr += cov0[:, None]
+    corr *= sh_sig
+    corr *= sig_i[:width][None, :]
+    for j in range(nblk):  # invalid suffix → -inf (argmax never picks it)
+        ln = int(lens[j])
+        if ln < width:
+            corr[j, ln:] = -np.inf
+    return corr
+
+
 def _first_cov(
     ts_outer: np.ndarray,
     mu_outer: np.ndarray,
@@ -53,66 +121,110 @@ def _first_cov(
     return wins @ inner_window
 
 
-def _scatter_by_diag(
-    corr: np.ndarray, diags: np.ndarray, out_len: int
-) -> np.ndarray:
-    """Shift row j of ``corr`` right by diags[j] into an (B, out_len) matrix.
-
-    Invalid cells land in a sacrificial extra column. corr must already hold
-    -inf at invalid cells.
-    """
-    nblk, width = corr.shape
-    offs = np.arange(width)
-    idx = diags[:, None] + offs[None, :]
-    idx[idx >= out_len] = out_len  # dummy column
-    shifted = np.full((nblk, out_len + 1), -np.inf, dtype="d")
-    shifted[np.arange(nblk)[:, None], idx] = corr
-    return shifted[:, :out_len]
-
-
-def _block_corr(
+def _merge_block(
+    corr: np.ndarray,
     diags: np.ndarray,
-    cov0: np.ndarray,
+    width: int,
+    plen_o: int,
+    scratch: _Scratch,
+    run_vo: np.ndarray,
+    run_io: np.ndarray,
+    run_vi: np.ndarray,
+    run_ii: np.ndarray,
+    self_join: bool,
+) -> None:
+    """Fold a correlation block into the running profiles (strict-> merge).
+
+    Inner side ("row role"): position o, neighbor o + d.
+    Outer side ("col role"): position o + d, neighbor o.
+    """
+    nblk = len(corr)
+    cols = np.arange(width)
+
+    row_j = np.argmax(corr, axis=0)
+    row_v = corr[row_j, cols]
+    row_d = diags[row_j]
+    row_nbr = cols + row_d
+
+    shifted = scratch.shifted[:nblk, :plen_o]
+    shifted.fill(-np.inf)
+    lens = np.minimum(plen_o - diags, width)
+    for j in range(nblk):
+        d, ln = int(diags[j]), int(lens[j])
+        shifted[j, d : d + ln] = corr[j, :ln]
+    col_j = np.argmax(shifted, axis=0)
+    pos = np.arange(plen_o)
+    col_v = shifted[col_j, pos]
+    col_d = diags[col_j]
+    col_nbr = pos - col_d
+
+    if self_join:
+        # combine roles with the reference's in-diagonal ordering: on exact
+        # ties the col update (earlier in the offset sweep) wins unless the
+        # row candidate came from a strictly smaller diagonal
+        cand_v = col_v
+        cand_i = col_nbr
+        rv = np.full(plen_o, -np.inf)
+        rv[:width] = row_v
+        ri = np.empty(plen_o, dtype=np.int64)
+        ri[:width] = row_nbr
+        rd = np.full(plen_o, np.iinfo(np.int64).max, dtype=np.int64)
+        rd[:width] = row_d
+        use_row = (rv > cand_v) | ((rv == cand_v) & (rd < col_d))
+        cand_v = np.where(use_row, rv, cand_v)
+        cand_i = np.where(use_row, ri, cand_i)
+        upd = cand_v > run_vo
+        run_vo[upd] = cand_v[upd]
+        run_io[upd] = cand_i[upd]
+    else:
+        upd = row_v > run_vi[:width]
+        run_vi[:width][upd] = row_v[upd]
+        run_ii[:width][upd] = row_nbr[upd]
+        upd = col_v > run_vo
+        run_vo[upd] = col_v[upd]
+        run_io[upd] = col_nbr[upd]
+
+
+def _sweep(
+    outer: np.ndarray,
+    mu_o: np.ndarray,
+    sig_o: np.ndarray,
     df_o: np.ndarray,
     dg_o: np.ndarray,
-    sig_o: np.ndarray,
+    inner: np.ndarray,
+    mu_i: np.ndarray,
+    sig_i: np.ndarray,
     df_i: np.ndarray,
     dg_i: np.ndarray,
-    sig_i: np.ndarray,
-    width: int,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Correlations for a block of diagonals.
-
-    Row j holds corr(offset, offset + diags[j]) for offsets 0..len_j-1 where
-    len_j is bounded by both the outer and inner profile lengths; invalid
-    cells are -inf. Returns (corr, valid mask).
-
-    The outer series indexes by ``offset + diag`` (suffix _o), the inner one
-    by ``offset`` (suffix _i); for a self join they are the same arrays.
-    """
-    out_len = sig_o.shape[0]
-    offs = np.arange(width)
-    idx = diags[:, None] + offs[None, :]
-    valid = (idx < out_len) & (offs[None, :] < sig_i.shape[0])
-    idx_c = np.minimum(idx, out_len - 1)
-
-    inc = df_i[offs][None, :] * dg_o[idx_c] + df_o[idx_c] * dg_i[offs][None, :]
-    inc[:, 0] = 0.0
-    inc[~valid] = 0.0
-    cov = np.cumsum(inc, out=inc, axis=1)
-    cov += cov0[:, None]
-    corr = cov * sig_i[offs][None, :] * sig_o[idx_c]
-    corr[~valid] = -np.inf
-    return corr, valid
-
-
-def _merge_candidates(
-    run_v: np.ndarray, run_i: np.ndarray, cand_v: np.ndarray, cand_i: np.ndarray
+    w: int,
+    first_diag: int,
+    run_vo: np.ndarray,
+    run_io: np.ndarray,
+    run_vi: np.ndarray,
+    run_ii: np.ndarray,
+    self_join: bool,
 ) -> None:
-    """Strict-> merge so earlier (lower-diagonal) candidates win ties."""
-    upd = cand_v > run_v
-    run_v[upd] = cand_v[upd]
-    run_i[upd] = cand_i[upd]
+    plen_o = sig_o.shape[0]
+    plen_i = sig_i.shape[0]
+    if first_diag >= plen_o:
+        return
+    width = min(plen_o - (first_diag if self_join else 0), plen_i)
+    block = max(1, _BLOCK_CELLS // max(1, max(width, plen_o)))
+    scratch = _Scratch(block, width, plen_o)
+    inner_win = inner[:w] - mu_i[0]
+
+    for d0 in range(first_diag, plen_o, block):
+        d1 = min(plen_o, d0 + block)
+        diags = np.arange(d0, d1)
+        bw = min(width, plen_o - d0)
+        cov0 = _first_cov(outer, mu_o, diags, inner_win, w)
+        corr = _block_corr(
+            scratch, diags, cov0, df_o, dg_o, sig_o, df_i, dg_i, sig_i, bw
+        )
+        _merge_block(
+            corr, diags, bw, plen_o, scratch,
+            run_vo, run_io, run_vi, run_ii, self_join,
+        )
 
 
 def mpx(
@@ -121,8 +233,8 @@ def mpx(
     """Self-join matrix profile. Returns ``(mp, mpi)``.
 
     Distances are z-normalized Euclidean unless ``cross_correlation`` is set
-    (then Pearson correlations clamped to [..,1]). minlag is ceil(w/4) as in
-    the reference (cympx.pyx:58).
+    (Pearson clamped to ≤1). minlag is ceil(w/4) as in the reference
+    (cympx.pyx:58).
     """
     ts = np.asarray(ts, dtype="d")
     n = ts.shape[0]
@@ -135,110 +247,15 @@ def mpx(
     run_v = np.full(plen, -1.0, dtype="d")
     run_i = np.full(plen, -1, dtype=np.int64)
 
-    first_diag = minlag + 1
-    if first_diag < plen:
-        inner_win = ts[:w] - mu[0]
-        block = max(1, _BLOCK_CELLS // max(1, plen))
-        for d0 in range(first_diag, plen, block):
-            d1 = min(plen, d0 + block)
-            diags = np.arange(d0, d1)
-            width = plen - d0
-            cov0 = _first_cov(ts, mu, diags, inner_win, w)
-            corr, valid = _block_corr(
-                diags, cov0, df, dg, sig, df, dg, sig, width
-            )
-
-            # row role: position = offset, neighbor = offset + diag
-            row_j = np.argmax(corr, axis=0)
-            cols = np.arange(width)
-            row_v = corr[row_j, cols]
-            row_d = diags[row_j]
-            row_nbr = cols + row_d
-
-            # col role: position = offset + diag, neighbor = offset
-            shifted = _scatter_by_diag(corr, diags, plen)
-            col_j = np.argmax(shifted, axis=0)
-            pos = np.arange(plen)
-            col_v = shifted[col_j, pos]
-            col_d = diags[col_j]
-            col_nbr = pos - col_d
-
-            # within a diagonal the col update precedes the row update, so on
-            # exact ties the col candidate wins when its diagonal is <= —
-            # reproduce by preferring col unless the row value strictly wins
-            # or ties from a smaller diagonal.
-            cand_v = col_v.copy()
-            cand_i = col_nbr.copy()
-            rv = np.full(plen, -np.inf)
-            rv[:width] = row_v
-            ri = np.full(plen, -1, dtype=np.int64)
-            ri[:width] = row_nbr
-            rd = np.full(plen, np.iinfo(np.int64).max, dtype=np.int64)
-            rd[:width] = row_d
-            use_row = (rv > cand_v) | ((rv == cand_v) & (rd < col_d))
-            cand_v[use_row] = rv[use_row]
-            cand_i[use_row] = ri[use_row]
-
-            _merge_candidates(run_v, run_i, cand_v, cand_i)
+    _sweep(
+        ts, mu, sig, df, dg, ts, mu, sig, df, dg, w,
+        minlag + 1, run_v, run_i, run_v, run_i, self_join=True,
+    )
 
     np.minimum(run_v, 1.0, out=run_v)
     if cross_correlation:
         return run_v, run_i
     return np.sqrt(2.0 * w * (1.0 - run_v)), run_i
-
-
-def _half_join(
-    outer: np.ndarray,
-    mu_o: np.ndarray,
-    sig_o: np.ndarray,
-    df_o: np.ndarray,
-    dg_o: np.ndarray,
-    inner: np.ndarray,
-    mu_i: np.ndarray,
-    sig_i: np.ndarray,
-    df_i: np.ndarray,
-    dg_i: np.ndarray,
-    w: int,
-    run_vo: np.ndarray,
-    run_io: np.ndarray,
-    run_vi: np.ndarray,
-    run_ii: np.ndarray,
-) -> None:
-    """One direction of the AB join (reference cympx.pyx:195-214).
-
-    Diagonal d starts at position d of the outer series and position 0 of the
-    inner; outer positions get inner neighbors and vice versa.
-    """
-    plen_o = sig_o.shape[0]
-    plen_i = sig_i.shape[0]
-    width = min(plen_o, plen_i)
-    block = max(1, _BLOCK_CELLS // max(1, max(width, plen_o)))
-    inner_win = inner[:w] - mu_i[0]
-
-    for d0 in range(0, plen_o, block):
-        d1 = min(plen_o, d0 + block)
-        diags = np.arange(d0, d1)
-        cov0 = _first_cov(outer, mu_o, diags, inner_win, w)
-        corr, _ = _block_corr(
-            diags, cov0, df_o, dg_o, sig_o, df_i, dg_i, sig_i, width
-        )
-
-        # inner-side: position = offset, neighbor = offset + diag
-        row_j = np.argmax(corr, axis=0)
-        cols = np.arange(width)
-        row_v = corr[row_j, cols]
-        row_nbr = cols + diags[row_j]
-        _merge_candidates(
-            run_vi[:width], run_ii[:width], row_v, row_nbr
-        )
-
-        # outer-side: position = offset + diag, neighbor = offset
-        shifted = _scatter_by_diag(corr, diags, plen_o)
-        col_j = np.argmax(shifted, axis=0)
-        pos = np.arange(plen_o)
-        col_v = shifted[col_j, pos]
-        col_nbr = pos - diags[col_j]
-        _merge_candidates(run_vo, run_io, col_v, col_nbr)
 
 
 def mpx_ab(
@@ -248,7 +265,9 @@ def mpx_ab(
 
     Every subsequence of ``ts`` is matched against its nearest neighbor in
     ``query`` and vice versa (reference cympx.pyx:125-284). Positions with no
-    candidate become +inf (Euclidean) / stay -1 (cross correlation).
+    candidate become +inf (Euclidean) / stay -1 (cross correlation). The
+    sequential reference runs the AB pass fully before BA, so AB wins exact
+    ties — preserved by the strict-> merges here.
     """
     ts = np.asarray(ts, dtype="d")
     query = np.asarray(query, dtype="d")
@@ -265,12 +284,10 @@ def mpx_ab(
     mpb = np.full(plen_b, -1.0, dtype="d")
     mpib = np.full(plen_b, -1, dtype=np.int64)
 
-    # AB pass: diagonals anchored on ts; then BA pass anchored on query.
-    # The sequential reference runs AB fully before BA, so AB wins exact ties.
-    _half_join(ts, mua, siga, dfa, dga, query, mub, sigb, dfb, dgb, w,
-               mp, mpi, mpb, mpib)
-    _half_join(query, mub, sigb, dfb, dgb, ts, mua, siga, dfa, dga, w,
-               mpb, mpib, mp, mpi)
+    _sweep(ts, mua, siga, dfa, dga, query, mub, sigb, dfb, dgb, w,
+           0, mp, mpi, mpb, mpib, self_join=False)
+    _sweep(query, mub, sigb, dfb, dgb, ts, mua, siga, dfa, dga, w,
+           0, mpb, mpib, mp, mpi, self_join=False)
 
     if cross_correlation:
         np.minimum(mp, 1.0, out=mp)

@@ -70,13 +70,17 @@ def impute_missing(
     else:
         index_order = range(len(temp) - window + 1, 0, -1)
 
+    # identical semantics to the reference's sweep, but the NaN mask is
+    # maintained incrementally (the reference recomputes it over the whole
+    # array per touched window — O(n^2) on sparse series)
     for start in index_order:
         end = start + window
         window_bad = bad[start:end]
         if window_bad.any():
-            stat = func(temp[start:end][~window_bad])
-            temp[start:end][window_bad] = stat
-            bad = ~np.isfinite(temp)
+            seg = temp[start:end]
+            stat = func(seg[~window_bad])
+            seg[window_bad] = stat
+            bad[start:end] = ~np.isfinite(seg)
     return temp
 
 
@@ -93,8 +97,21 @@ def preprocess(
     if add_noise:
         if rng is None:
             rng = np.random.default_rng(0)
-        for start in range(len(temp) - window + 1):
-            end = start + window
-            if is_subsequence_constant(temp[start:end]):
-                temp[start:end] = add_noise_to_series(temp[start:end], rng=rng)
+        # candidate constant windows found vectorized (rolling min == max);
+        # each candidate is re-checked before noising because earlier noise
+        # de-flattens overlapping windows (sequential reference semantics,
+        # preprocess.py:262-269)
+        if len(temp) >= window:
+            from matrixprofile_ray.core.moving import rolling_window
+
+            win = rolling_window(temp, window)
+            candidates = np.flatnonzero(
+                win.min(axis=1) == win.max(axis=1)
+            )
+            for start in candidates:
+                end = start + window
+                if is_subsequence_constant(temp[start:end]):
+                    temp[start:end] = add_noise_to_series(
+                        temp[start:end], rng=rng
+                    )
     return temp
