@@ -1,0 +1,83 @@
+"""Gorilla float-XOR + timestamp delta-of-delta codec round-trips (bit-exact)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from matrixprofile_ray.core.gorilla import (
+    gorilla_decode_floats,
+    gorilla_encode_floats,
+    timestamps_decode,
+    timestamps_encode,
+)
+
+
+class TestFloatCodec:
+    def test_roundtrip_random(self):
+        rng = np.random.default_rng(1)
+        values = rng.normal(size=5000)
+        out = gorilla_decode_floats(gorilla_encode_floats(values))
+        np.testing.assert_array_equal(out, values)
+
+    def test_roundtrip_special_values(self):
+        values = np.array(
+            [0.0, -0.0, 1.0, np.nan, np.inf, -np.inf, 1e-308, 1e308, np.pi]
+        )
+        out = gorilla_decode_floats(gorilla_encode_floats(values))
+        np.testing.assert_array_equal(
+            np.asarray(out).view(np.uint64), values.view(np.uint64)
+        )
+
+    def test_constant_series_compresses(self):
+        values = np.full(10_000, 42.5)
+        enc = gorilla_encode_floats(values)
+        # 1 control bit per repeated value → ~1/64 of raw size
+        assert len(enc) < 10_000  # vs 80 KB raw
+        np.testing.assert_array_equal(gorilla_decode_floats(enc), values)
+
+    def test_empty(self):
+        assert len(gorilla_decode_floats(gorilla_encode_floats(np.array([])))) == 0
+
+    def test_single(self):
+        out = gorilla_decode_floats(gorilla_encode_floats(np.array([3.75])))
+        np.testing.assert_array_equal(out, [3.75])
+
+
+class TestTimestampCodec:
+    def test_dense_grid_compresses_hard(self):
+        ts = 1_700_000_000_000_000 + 300_000_000 * np.arange(20_000, dtype=np.int64)
+        enc = timestamps_encode(ts)
+        # delta-of-delta == 0 everywhere after the first two → ~1 bit/point
+        assert len(enc) < 6_000  # vs 160 KB raw
+        np.testing.assert_array_equal(timestamps_decode(enc), ts)
+
+    def test_irregular_roundtrip(self):
+        rng = np.random.default_rng(2)
+        deltas = rng.integers(1, 10_000_000, size=3000)
+        ts = np.cumsum(deltas).astype(np.int64) + 1_600_000_000_000_000
+        np.testing.assert_array_equal(
+            timestamps_decode(timestamps_encode(ts)), ts
+        )
+
+    def test_short_series(self):
+        for n in (0, 1, 2, 3):
+            ts = np.arange(n, dtype=np.int64) * 1000
+            np.testing.assert_array_equal(
+                timestamps_decode(timestamps_encode(ts)), ts
+            )
+
+
+class TestCompressionRatio:
+    def test_rollup_like_series_beats_raw(self):
+        """Slow-moving counts (the actual workload shape) must compress."""
+        rng = np.random.default_rng(3)
+        values = np.round(50 + 10 * np.sin(np.arange(10_000) / 50)) + rng.integers(
+            0, 3, size=10_000
+        )
+        values = values.astype("d")
+        ts = 1_700_000_000_000_000 + 300_000_000 * np.arange(10_000, dtype=np.int64)
+        enc_v = gorilla_encode_floats(values)
+        enc_t = timestamps_encode(ts)
+        raw = 16 * len(values)
+        assert (len(enc_v) + len(enc_t)) < raw / 2
