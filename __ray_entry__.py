@@ -1,44 +1,610 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+`queries()` covers the SURVEY.md §2 operator inventory over the driver's
+parquet tables (`events` for the timeseries engine, `documents` /
+`embeddings` for the corpus-pipeline operators). Every float column is
+rounded to 6 decimals on BOTH the Ray and SQL sides so value-hashes match.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+H1 = 3_600_000_000
+D1 = 86_400_000_000
+D7 = 604_800_000_000
+
+_STOPWORDS_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _round_floats(df: pd.DataFrame, cols, decimals: int = 6) -> pd.DataFrame:
+    for c in cols:
+        df[c] = np.round(df[c].astype("float64"), decimals)
+    return df
+
+
+# ---------------------------------------------------------------- rollups
+
+def _rollup(sf_dir: str, bucket_us: int) -> pd.DataFrame:
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    df = rollup_events(ds, bucket_us).to_pandas()
+    return _round_floats(df, ["sum_value", "min_value", "max_value", "mean_value"])
+
+
+def q_rollup_1h(sf_dir: str):
+    return _rollup(sf_dir, H1)
+
+
+def q_rollup_1d(sf_dir: str):
+    return _rollup(sf_dir, D1)
+
+
+def q_rollup_7d_cascade(sf_dir: str):
+    """7d tier produced by cascading the 1d partials (continuous-aggregate
+    path) — must equal a direct 7d rollup, which is what the oracle does."""
+    from matrixprofile_ray.pipelines.timeseries import cascade_events, rollup_events
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    partials_1d = rollup_events(ds, D1, keep_partials=True)
+    df = cascade_events(partials_1d, D7).to_pandas()
+    return _round_floats(df, ["sum_value", "min_value", "max_value", "mean_value"])
+
+
+def _rollup_sql(bucket_us: int) -> str:
+    return f"""
+        SELECT event_type,
+               (epoch_us(ts) // {bucket_us}) * {bucket_us} AS bucket_ts,
+               count(*) AS count,
+               ROUND(sum(value), 6) AS sum_value,
+               ROUND(min(value), 6) AS min_value,
+               ROUND(max(value), 6) AS max_value,
+               ROUND(avg(value), 6) AS mean_value
+        FROM events GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------- stats
+
+def q_stats_events(sf_dir: str):
+    """Global statistics per key (reference algorithms/statistics.py:15-90)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def stats(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["value"].to_numpy(dtype="d")
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "n": [len(v)],
+            "min_value": [round(float(v.min()), 6)],
+            "max_value": [round(float(v.max()), 6)],
+            "mean_value": [round(float(v.mean()), 6)],
+            "std_value": [round(float(v.std()), 6)],
+            "median_value": [round(float(np.median(v)), 6)],
+        })
+
+    return ds.groupby("event_type").map_groups(stats, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- gap-fill
+
+def q_gapfill_1h(sf_dir: str):
+    """Dense-grid summary per key after gap-filling the 1h tier."""
+    from matrixprofile_ray.pipelines.timeseries import (
+        rollup_events,
+        series_from_buckets,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+    series = series_from_buckets(buckets, H1).to_pandas()
+    out = series[["event_type", "n", "n_gaps"]].copy()
+    out["n"] = out["n"].astype("int64")
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------- profiles
+
+def _series_1h(sf_dir: str, value_col: str = "count"):
+    from matrixprofile_ray.pipelines.timeseries import (
+        rollup_events,
+        series_from_buckets,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+    return series_from_buckets(buckets, H1, value_col=value_col)
+
+
+def _profile(sf_dir: str, algorithm: str, window: int = 24) -> pd.DataFrame:
+    from matrixprofile_ray.pipelines.timeseries import profile_series
+
+    profiles = profile_series(
+        _series_1h(sf_dir), window, algorithm=algorithm
+    ).to_pandas()
+    out = profiles[["event_type", "w", "n", "algorithm"]].copy()
+    mp = profiles["mp"]
+    out["mp_len"] = mp.map(len).astype("int64")
+    out["mp_min"] = np.round([float(np.min(m)) for m in mp], 6)
+    out["mp_max"] = np.round([float(np.max(m)) for m in mp], 6)
+    out["mp_argmin"] = np.array([int(np.argmin(m)) for m in mp], dtype="int64")
+    return out
+
+
+def q_profile_mpx_1h(sf_dir: str):
+    return _profile(sf_dir, "mpx")
+
+
+def q_profile_stomp_1h(sf_dir: str):
+    return _profile(sf_dir, "stomp")
+
+
+def q_profile_scrimp_1h(sf_dir: str):
+    return _profile(sf_dir, "scrimp++")
+
+
+def q_pmp_1h(sf_dir: str):
+    """SKIMP fan-out: (series × window) work-list through the profile stage."""
+    from matrixprofile_ray.stages.profile import ProfileStage
+
+    series = _series_1h(sf_dir).to_pandas()
+    windows = [8, 16, 24]
+    work = series.loc[series.index.repeat(len(windows))].reset_index(drop=True)
+    work["w"] = np.tile(windows, len(series))
+    import ray.data as rd
+
+    work_ds = rd.from_pandas(work)
+    profiles = work_ds.map_batches(
+        ProfileStage,
+        fn_constructor_kwargs={
+            "window": None, "algorithm": "mpx", "key_col": "event_type",
+        },
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    out = profiles[["event_type", "w"]].copy()
+    out["mp_len"] = profiles["mp"].map(len).astype("int64")
+    out["mp_min"] = np.round([float(np.min(m)) for m in profiles["mp"]], 6)
+    return out
+
+
+def q_stampi_1h(sf_dir: str):
+    """Incremental STAMPI: bootstrap on the first 75% of each series, append
+    the rest point-by-point; result equals a batch recompute (asserted)."""
+    import matrixprofile_ray.core as core
+
+    series = _series_1h(sf_dir).to_pandas()
+    rows = []
+    for _, r in series.iterrows():
+        values = np.asarray(r["values"], dtype="d")
+        w = 24
+        split = int(len(values) * 0.75)
+        state = core.stampi_init(values[:split], w)
+        for x in values[split:]:
+            state = core.stampi_append(state, x)
+        batch = core.stomp(values, w)
+        # relative tolerance: near-constant gap-filled series make z-norm
+        # distances noise-dominated at tiny scale factors
+        scale = max(float(np.max(batch["mp"])), 1e-12)
+        err = float(np.max(np.abs(state["mp"] - batch["mp"]))) / scale
+        rows.append({
+            "event_type": r["event_type"],
+            "n": len(values),
+            "mp_len": len(state["mp"]),
+            "matches_batch": bool(err < 1e-3),
+        })
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------- discovery
+
+def _discoveries(sf_dir: str, kind: str) -> pd.DataFrame:
+    from matrixprofile_ray.pipelines.timeseries import (
+        discover_series,
+        profile_series,
+    )
+
+    profiles = profile_series(_series_1h(sf_dir), 24, algorithm="mpx")
+    disc = discover_series(profiles).to_pandas()
+    out = disc[disc["kind"] == kind][
+        ["event_type", "w", "kind", "rank", "idx", "pair_idx"]
+    ].reset_index(drop=True)
+    out["rank"] = out["rank"].astype("int64")
+    out["idx"] = out["idx"].astype("int64")
+    out["pair_idx"] = out["pair_idx"].astype("int64")
+    return out
+
+
+def q_discords_1h(sf_dir: str):
+    return _discoveries(sf_dir, "discord")
+
+
+def q_motifs_1h(sf_dir: str):
+    return _discoveries(sf_dir, "motif")
+
+
+def q_regimes_1h(sf_dir: str):
+    return _discoveries(sf_dir, "regime")
+
+
+def q_snippets_1d(sf_dir: str):
+    import matrixprofile_ray.core as core
+    from matrixprofile_ray.pipelines.timeseries import (
+        rollup_events,
+        series_from_buckets,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+    series = series_from_buckets(buckets, H1).to_pandas()
+    rows = []
+    for _, r in series.iterrows():
+        values = np.asarray(r["values"], dtype="d")
+        found = core.snippets(values, 48, num_snippets=2, window_size=24)
+        for rank, s in enumerate(found):
+            rows.append({
+                "event_type": r["event_type"],
+                "rank": rank,
+                "idx": int(s["index"]),
+                "fraction": round(float(s["fraction"]), 6),
+            })
+    return pd.DataFrame(rows)
+
+
+def q_mpdist_pairs_1h(sf_dir: str):
+    """All-pairs MPDist between per-key series (reference pairwise_dist)."""
+    import ray.data as rd
+
+    import matrixprofile_ray.core as core
+
+    series = _series_1h(sf_dir).to_pandas().sort_values("event_type")
+    keys = series["event_type"].tolist()
+    vals = {k: np.asarray(v, dtype="d")
+            for k, v in zip(keys, series["values"])}
+    pairs = [
+        {"a": keys[i], "b": keys[j]}
+        for i in range(len(keys))
+        for j in range(i + 1, len(keys))
+    ]
+
+    def compute(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in batch.iterrows():
+            d = core.mpdist(vals[r["a"]], vals[r["b"]], 24)
+            out.append({"a": r["a"], "b": r["b"],
+                        "mpdist": round(float(d), 6)})
+        return pd.DataFrame(out)
+
+    return rd.from_items(pairs).map_batches(
+        compute, batch_format="pandas", batch_size=2
+    )
+
+
+def q_gorilla_1h(sf_dir: str):
+    """Gorilla codec stage over the 1h series; round-trip asserted in-stage."""
+    from matrixprofile_ray.core.gorilla import gorilla_decode_floats
+    from matrixprofile_ray.stages.encode import encode_series
+
+    series = _series_1h(sf_dir)
+    enc = series.map_batches(
+        lambda b: encode_series(b, key_col="event_type"), batch_format="pandas"
+    ).to_pandas()
+    out = enc[["event_type", "n", "raw_bytes", "enc_bytes"]].copy()
+    out["n"] = out["n"].astype("int64")
+    out["raw_bytes"] = out["raw_bytes"].astype("int64")
+    out["enc_bytes"] = out["enc_bytes"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# ------------------------------------------------------- corpus operators
+
+def q_dedup_exact(sf_dir: str):
+    from matrixprofile_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = exact_dedup(ds).to_pandas()[["doc_id", "dup_count"]]
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["dup_count"] = df["dup_count"].astype("int64")
+    return df
+
+
+def q_token_count(sf_dir: str):
+    from matrixprofile_ray.stages.text import token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_count, batch_format="pyarrow")
+
+
+def q_text_quality(sf_dir: str):
+    from matrixprofile_ray.stages.text import text_quality
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_quality, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    from matrixprofile_ray.stages.text import lang_id
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lang_id, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    from matrixprofile_ray.stages.text import fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pyarrow")
+
+
+def q_minhash_pairs(sf_dir: str):
+    from matrixprofile_ray.stages.dedup import minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = minhash_dedup_pairs(ds, threshold=0.5).to_pandas()
+    df = df.sort_values(["a", "b"]).reset_index(drop=True)
+    return _round_floats(df, ["sim"])
+
+
+def q_simhash_groups(sf_dir: str):
+    from matrixprofile_ray.stages.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = simhash_dedup(ds).to_pandas()
+    for c in ("simhash", "keep_doc_id", "group_size"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Word-3-gram Jaccard of all docs vs a broadcast 25-doc reference set."""
+    import ray
+
+    from matrixprofile_ray.stages.dedup import ngram_jaccard
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    head = ds.take(25)
+    other = {}
+    for r in head:
+        toks = r["text"].split()
+        other[r["doc_id"]] = {
+            tuple(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    ref = ray.put(other)
+
+    def run(batch):
+        return ngram_jaccard(batch, ray.get(ref))
+
+    df = ds.map_batches(run, batch_format="pyarrow").to_pandas()
+    return df[df["jaccard"] > 0.05].sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _query_vectors(sf_dir: str, n: int = 5) -> dict[int, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    df = tbl.to_pandas().sort_values("vec_id").head(n)
+    return {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype="d")
+        for _, r in df.iterrows()
+    }
+
+
+def q_ann_topk(sf_dir: str):
+    from matrixprofile_ray.stages.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = brute_force_topk(ds, _query_vectors(sf_dir), k=10).to_pandas()
+    df = df[["query_id", "vec_id", "sim", "rank"]]
+    for c in ("query_id", "vec_id", "rank"):
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
+def q_ann_lsh(sf_dir: str):
+    from matrixprofile_ray.stages.ann import lsh_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = lsh_topk(ds, _query_vectors(sf_dir), k=10, nbits=6).to_pandas()
+    for c in ("query_id", "vec_id"):
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (nbits=0 ⇒ one bucket ⇒ exact).
+
+    Threshold 0.35 because the synthetic embeddings have max pairwise
+    cosine ≈0.48 — a 0.9 threshold would make the check vacuous."""
+    from matrixprofile_ray.stages.ann import near_duplicates
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = near_duplicates(ds, threshold=0.35, nbits=0).to_pandas()
+    df["a"] = df["a"].astype("int64")
+    df["b"] = df["b"].astype("int64")
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Binary media column plumbing: fake payloads → actor-pool decode."""
+    from matrixprofile_ray.stages.multimodal import DecodeStage, attach_fake_media
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    media = ds.map_batches(attach_fake_media, batch_format="pyarrow")
+    feats = media.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"dim": 8, "fake": True},
+        batch_format="pandas",
+        batch_size=32,
+        concurrency=2,
+    ).to_pandas()
+    out = feats[["media_id", "kind", "n_bytes"]].copy()
+    out["n_bytes"] = out["n_bytes"].astype("int64")
+    out["feat_norm"] = np.round(
+        [float(np.linalg.norm(f)) for f in feats["feature"]], 4
+    )
+    return out
+
+
+def q_flagship_pages_1d(sf_dir: str):
+    """North-star pipeline on the synthetic Common-Crawl corpus (sf-scaled)."""
+    from matrixprofile_ray.pipelines.flagship import flagship
+    from matrixprofile_ray.sources.pages import pages_dataset
+
+    n_rows = 20000 if "0.01" in sf_dir else 5000
+    res = flagship(
+        pages_dataset(n_rows), window=16, tiers=("1d",), profile_concurrency=2
+    )
+    disc = res["discoveries"]["1d"].to_pandas()
+    disc = disc[["domain", "tier", "w", "kind", "rank", "idx"]].sort_values(
+        ["domain", "kind", "rank"]
+    )
+    return disc.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- contract
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship topology on /root/testdata/sf0.001: events → 1h rollup →
+    gap-fill → MPX profiles → discoveries."""
+    sf_dir = "/root/testdata/sf0.001"
+    from matrixprofile_ray.pipelines.timeseries import (
+        discover_series,
+        profile_series,
+    )
+
+    profiles = profile_series(_series_1h(sf_dir), 24, algorithm="mpx")
+    disc = discover_series(profiles).to_pandas()
+    return disc[["event_type", "w", "kind", "rank", "idx", "pair_idx", "score"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d": q_rollup_1d,
+        "rollup_7d_cascade": q_rollup_7d_cascade,
+        "stats_events": q_stats_events,
+        "gapfill_1h": q_gapfill_1h,
+        "profile_mpx_1h": q_profile_mpx_1h,
+        "profile_stomp_1h": q_profile_stomp_1h,
+        "profile_scrimp_1h": q_profile_scrimp_1h,
+        "pmp_1h": q_pmp_1h,
+        "stampi_1h": q_stampi_1h,
+        "discords_1h": q_discords_1h,
+        "motifs_1h": q_motifs_1h,
+        "regimes_1h": q_regimes_1h,
+        "snippets_1d": q_snippets_1d,
+        "mpdist_pairs_1h": q_mpdist_pairs_1h,
+        "gorilla_1h": q_gorilla_1h,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_groups": q_simhash_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_features": q_multimodal_features,
+        "flagship_pages_1d": q_flagship_pages_1d,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1h": _rollup_sql(H1),
+        "rollup_1d": _rollup_sql(D1),
+        "rollup_7d_cascade": _rollup_sql(D7),
+        "stats_events": """
+            SELECT event_type,
+                   count(*) AS n,
+                   ROUND(min(value), 6) AS min_value,
+                   ROUND(max(value), 6) AS max_value,
+                   ROUND(avg(value), 6) AS mean_value,
+                   ROUND(stddev_pop(value), 6) AS std_value,
+                   ROUND(median(value), 6) AS median_value
+            FROM events GROUP BY event_type
+        """,
+        "gapfill_1h": f"""
+            SELECT event_type,
+                   (max(epoch_us(ts) // {H1}) - min(epoch_us(ts) // {H1}) + 1) AS n,
+                   (max(epoch_us(ts) // {H1}) - min(epoch_us(ts) // {H1}) + 1
+                    - count(DISTINCT epoch_us(ts) // {H1})) AS n_gaps
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+            FROM documents
+        """,
+        "text_quality": rf"""
+            WITH t AS (
+                SELECT doc_id, trim(text) AS text,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(toks) AS n_tokens,
+                   ROUND((length(text) - (len(toks) - 1)) * 1.0 / len(toks), 6)
+                       AS mean_token_len,
+                   ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                         / greatest(length(text), 1), 6) AS digit_ratio,
+                   ROUND(len(list_filter(toks,
+                         t -> list_contains({_STOPWORDS_SQL}, lower(t))))
+                         * 1.0 / len(toks), 6) AS stopword_ratio
+            FROM t
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       ROUND(list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) AS sim
+                FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+                SELECT query_id, vec_id, sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id ASC
+                       ) - 1 AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank < 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+    }

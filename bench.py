@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark harness for the matrixprofile_ray engine.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+plus the synthetic Common-Crawl pages flagship, and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "pages_rows_per_sec": ..., "rolled_points_per_sec": ...}
+
+`--scaling` runs the flagship twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs + the scaling
+efficiency (the sandbox proxy for the north rule's N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "200000"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            log_to_driver=False,
+        )
+
+
+def bench_flagship(num_cpus: int, n_pages: int) -> dict:
+    """North-star pipeline: synthetic pages → 4 tiers → profiles → discoveries."""
+    from matrixprofile_ray.pipelines.flagship import flagship
+    from matrixprofile_ray.sources.pages import pages_dataset
+
+    t0 = time.time()
+    pages = pages_dataset(n_pages)
+    res = flagship(
+        pages,
+        window=24,
+        tiers=("1h", "1d", "7d"),
+        profile_concurrency=max(2, num_cpus // 2),
+    )
+    rolled_points = 0
+    discoveries = 0
+    for tier in res["discoveries"]:
+        rolled_points += int(
+            res["series"][tier].sum("n")
+        )
+        discoveries += res["discoveries"][tier].count()
+    wall = time.time() - t0
+    return {
+        "wall_s": wall,
+        "pages_rows": n_pages,
+        "rolled_points": rolled_points,
+        "discoveries": discoveries,
+        "pages_rows_per_sec": n_pages / wall,
+        "rolled_points_per_sec": rolled_points / wall,
+    }
+
+
+def bench_queries() -> dict:
+    """Per-query seconds over the driver tables at $GRAFT_SF_DIR."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    names = [
+        "rollup_1h",
+        "rollup_7d_cascade",
+        "stats_events",
+        "gapfill_1h",
+        "profile_mpx_1h",
+        "profile_stomp_1h",
+        "discords_1h",
+        "gorilla_1h",
+        "dedup_exact",
+        "token_count",
+        "text_quality",
+        "minhash_pairs",
+        "ann_topk",
+        "embedding_neardup",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_single(num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    flagship_stats = bench_flagship(num_cpus, PAGES_ROWS)
+    queries = bench_queries()
+    total = flagship_stats["wall_s"] + sum(queries.values())
+    return {
+        "metric": "rollup+matrix-profile throughput",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "flagship": {k: round(v, 3) if isinstance(v, float) else v
+                     for k, v in flagship_stats.items()},
+        "pages_rows_per_sec": round(flagship_stats["pages_rows_per_sec"], 1),
+        "rolled_points_per_sec": round(
+            flagship_stats["rolled_points_per_sec"], 1
+        ),
+    }
+
+
+def run_scaling() -> dict:
+    """Same flagship job at 8 and 32 CPUs in fresh processes."""
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(n)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--flagship-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    thr8 = results[8]["pages_rows_per_sec"]
+    thr32 = results[32]["pages_rows_per_sec"]
+    # perfect scaling 8→32 CPUs would be 4×; efficiency = actual/ideal
+    efficiency = (thr32 / thr8) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (8 vs 32 cpus, fresh processes)",
+        "value": round(efficiency, 3),
+        "unit": "efficiency",
+        "throughput_cpus8_rows_per_sec": thr8,
+        "throughput_cpus32_rows_per_sec": thr32,
+        "speedup": round(thr32 / thr8, 3),
+        "sf": SF_DIR,
+        "pages_rows": PAGES_ROWS,
+    }
+
+
+def main():
+    import ray
+
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+    if "--flagship-only" in sys.argv:
+        _init_ray(NUM_CPUS)
+        stats = bench_flagship(NUM_CPUS, PAGES_ROWS)
+        print(json.dumps({
+            "num_cpus": NUM_CPUS,
+            "pages_rows_per_sec": round(stats["pages_rows_per_sec"], 1),
+            "rolled_points_per_sec": round(stats["rolled_points_per_sec"], 1),
+            "wall_s": round(stats["wall_s"], 3),
+        }))
+        ray.shutdown()
+        return
+    print(json.dumps(run_single(NUM_CPUS)))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Generic Ray-Data timeseries engine over any (key, ts, value) table.
+
+The same rollup → cascade → gap-fill → matrix-profile → discovery topology
+as the flagship pages pipeline, parameterized on column names so it drives
+both the synthetic Common-Crawl corpus and arbitrary event streams (the
+driver's `events` table). All aggregates carry exact moments
+(count/sum/sum_sq/min/max) so cascades and partial+final merges stay exact.
+
+Shuffle budget per query: ONE groupby on (key, bucket) after an in-batch
+Arrow combiner; series assembly reuses the same key partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from matrixprofile_ray.stages.gapfill import assemble_series
+
+__all__ = [
+    "rollup_events",
+    "cascade_events",
+    "series_from_buckets",
+    "profile_series",
+    "discover_series",
+]
+
+_PARTIALS = ["count", "sum_value", "sum_sq_value", "min_value", "max_value"]
+
+
+def _partial(batch: pa.Table, key: str, ts_col: str, value_col: str,
+             bucket_us: int) -> pa.Table:
+    """Within-batch combiner: one partial row per (key, bucket)."""
+    ts = pc.cast(batch[ts_col], pa.int64())
+    bucket = pc.multiply(pc.divide(ts, bucket_us), bucket_us)
+    val = pc.cast(batch[value_col], pa.float64())
+    tbl = pa.table({
+        "key": batch[key],
+        "bucket_ts": bucket,
+        "v": val,
+        "v2": pc.multiply(val, val),
+    })
+    agg = tbl.group_by(["key", "bucket_ts"]).aggregate(
+        [("v", "count"), ("v", "sum"), ("v2", "sum"), ("v", "min"), ("v", "max")]
+    )
+    return agg.rename_columns(["key", "bucket_ts"] + _PARTIALS)
+
+
+def _merge_aggs():
+    from ray.data.aggregate import Max, Min, Sum
+
+    return [
+        Sum("count", alias_name="count"),
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("sum_sq_value", alias_name="sum_sq_value"),
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"),
+    ]
+
+
+def _finalize(batch: pa.Table, key_out: str) -> pa.Table:
+    count = np.asarray(batch["count"], dtype="d")
+    s = np.asarray(batch["sum_value"], dtype="d")
+    mean = s / count
+    out = pa.table({
+        key_out: batch["key"],
+        "bucket_ts": batch["bucket_ts"],
+        "count": pc.cast(batch["count"], pa.int64()),
+        "sum_value": batch["sum_value"],
+        "min_value": batch["min_value"],
+        "max_value": batch["max_value"],
+        "mean_value": pa.array(mean, pa.float64()),
+    })
+    return out
+
+
+def rollup_events(
+    ds,
+    bucket_us: int,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keep_partials: bool = False,
+):
+    """(key, ts, value) Dataset → tumbling-window bucket table.
+
+    Output columns: <key>, bucket_ts (epoch µs), count, sum_value,
+    min_value, max_value, mean_value.
+    """
+    partials = ds.map_batches(
+        lambda b: _partial(b, key, ts_col, value_col, bucket_us),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    merged = partials.groupby(["key", "bucket_ts"]).aggregate(*_merge_aggs())
+    if keep_partials:
+        return merged
+    return merged.map_batches(
+        lambda b: _finalize(b, key), batch_format="pyarrow"
+    )
+
+
+def cascade_events(partial_ds, bucket_us: int, key_out: str = "event_type"):
+    """Partial bucket table (keep_partials=True) → coarser-tier rollup."""
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        bucket = pc.multiply(pc.divide(batch["bucket_ts"], bucket_us), bucket_us)
+        tbl = batch.select(["key"] + _PARTIALS).add_column(1, "bucket_ts", bucket)
+        agg = tbl.group_by(["key", "bucket_ts"]).aggregate(
+            [(c, "sum") if not c.startswith(("min", "max"))
+             else (c, c[:3]) for c in _PARTIALS]
+        )
+        return agg.rename_columns(["key", "bucket_ts"] + _PARTIALS)
+
+    partials = partial_ds.map_batches(rebucket, batch_format="pyarrow")
+    merged = partials.groupby(["key", "bucket_ts"]).aggregate(*_merge_aggs())
+    return merged.map_batches(
+        lambda b: _finalize(b, key_out), batch_format="pyarrow"
+    )
+
+
+def series_from_buckets(
+    bucket_ds,
+    bucket_us: int,
+    key: str = "event_type",
+    value_col: str = "count",
+    tier: str = "events",
+    add_noise: bool = True,
+):
+    """Bucket table → one gap-filled dense series row per key."""
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.rename(columns={key: "domain"})
+        out = assemble_series(
+            g, bucket_us, tier, value_col=value_col, add_noise=add_noise
+        )
+        return out.rename(columns={"domain": key})
+
+    return bucket_ds.groupby(key).map_groups(assemble, batch_format="pandas")
+
+
+def profile_series(series_ds, window: int, key: str = "event_type",
+                   algorithm: str = "mpx", concurrency=2):
+    """Series rows → profile rows via the actor-pool stage."""
+    from matrixprofile_ray.stages.profile import ProfileStage
+
+    return series_ds.map_batches(
+        ProfileStage,
+        fn_constructor_kwargs={
+            "window": window, "algorithm": algorithm, "key_col": key,
+        },
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+
+
+def discover_series(profiles_ds, key: str = "event_type", concurrency=2, **kwargs):
+    from matrixprofile_ray.stages.discovery import DiscoveryStage
+
+    return profiles_ds.map_batches(
+        DiscoveryStage,
+        fn_constructor_kwargs={"key_col": key, **kwargs},
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )

@@ -36,17 +36,19 @@ class DiscoveryStage:
         num_regimes: int = 3,
         max_neighbors: int = 10,
         radius: int = 3,
+        key_col: str = "domain",
     ):
         self.k_motifs = k_motifs
         self.k_discords = k_discords
         self.num_regimes = num_regimes
         self.max_neighbors = max_neighbors
         self.radius = radius
+        self.key_col = key_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for i in range(len(batch)):
-            domain = batch["domain"].iloc[i]
+            domain = batch[self.key_col].iloc[i]
             tier = batch["tier"].iloc[i]
             w = int(batch["w"].iloc[i])
             mp = np.asarray(batch["mp"].iloc[i], dtype="d")
@@ -61,7 +63,7 @@ class DiscoveryStage:
             def emit(kind, rank, idx, pair_idx, neighbors, score):
                 rows.append(
                     {
-                        "domain": domain, "tier": tier, "w": w, "kind": kind,
+                        self.key_col: domain, "tier": tier, "w": w, "kind": kind,
                         "rank": rank, "idx": int(idx), "pair_idx": int(pair_idx),
                         "neighbors": np.asarray(neighbors, dtype=np.int64),
                         "score": float(score),
@@ -91,7 +93,7 @@ class DiscoveryStage:
 
         if not rows:
             return pd.DataFrame(
-                {c: [] for c in ["domain", "tier", "w", "kind", "rank",
+                {c: [] for c in [self.key_col, "tier", "w", "kind", "rank",
                                  "idx", "pair_idx", "neighbors", "score"]}
             )
         return pd.DataFrame(rows)

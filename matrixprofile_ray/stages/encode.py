@@ -21,7 +21,7 @@ from matrixprofile_ray.core.gorilla import (
 __all__ = ["encode_series", "decode_series"]
 
 
-def encode_series(batch: pd.DataFrame) -> pd.DataFrame:
+def encode_series(batch: pd.DataFrame, key_col: str = "domain") -> pd.DataFrame:
     """series rows → series_gorilla rows (binary payload columns)."""
     values_enc, ts_enc, raw_bytes, enc_bytes = [], [], [], []
     for i in range(len(batch)):
@@ -37,7 +37,7 @@ def encode_series(batch: pd.DataFrame) -> pd.DataFrame:
         enc_bytes.append(len(v) + len(t))
     return pd.DataFrame(
         {
-            "domain": batch["domain"],
+            key_col: batch[key_col],
             "tier": batch["tier"],
             "start_ts": batch["start_ts"],
             "bucket_us": batch["bucket_us"],
@@ -50,7 +50,7 @@ def encode_series(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def decode_series(batch: pd.DataFrame) -> pd.DataFrame:
+def decode_series(batch: pd.DataFrame, key_col: str = "domain") -> pd.DataFrame:
     """series_gorilla rows → series rows (values/ts lists restored)."""
     out_values, out_ts = [], []
     for i in range(len(batch)):
@@ -58,7 +58,7 @@ def decode_series(batch: pd.DataFrame) -> pd.DataFrame:
         out_ts.append(timestamps_decode(batch["ts_dod"].iloc[i]))
     return pd.DataFrame(
         {
-            "domain": batch["domain"],
+            key_col: batch[key_col],
             "tier": batch["tier"],
             "start_ts": batch["start_ts"],
             "bucket_us": batch["bucket_us"],

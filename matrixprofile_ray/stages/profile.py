@@ -83,6 +83,7 @@ class ProfileStage:
         sample_pct: float = 1.0,
         min_len_factor: int = 2,
         carry_values: bool = True,
+        key_col: str = "domain",
     ):
         if window is not None and window < 4:
             raise ValueError("window must be >= 4")
@@ -91,6 +92,7 @@ class ProfileStage:
         self.sample_pct = sample_pct
         self.min_len_factor = min_len_factor
         self.carry_values = carry_values
+        self.key_col = key_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -103,12 +105,12 @@ class ProfileStage:
             values = np.asarray(batch["values"].iloc[i], dtype="d")
             if len(values) < self.min_len_factor * w or len(values) < w + 4:
                 continue  # series too short for this window
-            domain = batch["domain"].iloc[i]
+            domain = batch[self.key_col].iloc[i]
             tier = batch["tier"].iloc[i]
             seed = zlib.crc32(f"{domain}|{tier}|{w}".encode())
             p = profile_one(values, w, self.algorithm, self.sample_pct, seed=seed)
             row = {
-                "domain": domain,
+                self.key_col: domain,
                 "tier": tier,
                 "start_ts": int(batch["start_ts"].iloc[i]),
                 "bucket_us": int(batch["bucket_us"].iloc[i]),
@@ -128,13 +130,13 @@ class ProfileStage:
                 row["values"] = values
             rows.append(row)
         if not rows:
-            return _empty_frame(self.carry_values)
+            return _empty_frame(self.carry_values, self.key_col)
         return pd.DataFrame(rows)
 
 
-def _empty_frame(carry_values: bool) -> pd.DataFrame:
+def _empty_frame(carry_values: bool, key_col: str = "domain") -> pd.DataFrame:
     cols = [
-        "domain", "tier", "start_ts", "bucket_us", "n", "w", "algorithm",
+        key_col, "tier", "start_ts", "bucket_us", "n", "w", "algorithm",
         "metric", "ez", "join", "sample_pct", "mp", "pi",
         "lmp", "lpi", "rmp", "rpi",
     ]
