@@ -474,7 +474,7 @@ def q_flagship_pages_1d(sf_dir: str):
     res = flagship(
         pages_dataset(n_rows), window=16, tiers=("1d",), profile_concurrency=2
     )
-    disc = res["discoveries"]["1d"].to_pandas()
+    disc = res["discoveries"].to_pandas()
     disc = disc[["domain", "tier", "w", "kind", "rank", "idx"]].sort_values(
         ["domain", "kind", "rank"]
     )

@@ -48,16 +48,11 @@ def bench_flagship(num_cpus: int, n_pages: int) -> dict:
     res = flagship(
         pages,
         window=24,
-        tiers=("1h", "1d", "7d"),
+        tiers=("raw", "1h", "1d", "7d"),
         profile_concurrency=max(2, num_cpus // 2),
     )
-    rolled_points = 0
-    discoveries = 0
-    for tier in res["discoveries"]:
-        rolled_points += int(
-            res["series"][tier].sum("n")
-        )
-        discoveries += res["discoveries"][tier].count()
+    rolled_points = int(res["series"].sum("n"))
+    discoveries = res["discoveries"].count()
     wall = time.time() - t0
     return {
         "wall_s": wall,

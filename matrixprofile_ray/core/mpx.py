@@ -29,8 +29,11 @@ from matrixprofile_ray.core.moving import muinvn, rolling_window
 
 __all__ = ["mpx", "mpx_ab"]
 
-# Cap on temporary cells per diagonal block (each temp ~8 bytes/cell).
+# Cap on temporary cells per diagonal block (each temp ~8 bytes/cell) and on
+# rows per block (keeps the scratch allocation small for short series —
+# allocation churn, not compute, dominated the kernel below ~2k points).
 _BLOCK_CELLS = 2_000_000
+_BLOCK_ROWS = 192
 
 
 def _diffs(ts: np.ndarray, mu: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
@@ -49,11 +52,35 @@ class _Scratch:
     """Preallocated per-block buffers, reused across blocks/calls."""
 
     def __init__(self, nrows: int, width: int, out_len: int):
+        self.nrows = nrows
+        self.width = width
+        self.out_len = out_len
         self.sh_dg = np.empty((nrows, width))
         self.sh_df = np.empty((nrows, width))
         self.sh_sig = np.zeros((nrows, width))
         self.corr = np.empty((nrows, width))
         self.shifted = np.full((nrows, out_len), -np.inf)
+
+    def fits(self, nrows: int, width: int, out_len: int) -> bool:
+        return (
+            nrows <= self.nrows and width <= self.width
+            and out_len <= self.out_len
+        )
+
+
+_SCRATCH_CACHE: list = []  # one reusable scratch per worker process
+
+
+def _get_scratch(nrows: int, width: int, out_len: int) -> _Scratch:
+    """Process-local scratch reuse: actor pools call the kernel once per
+    series row, and same-tier series share shapes — reallocating ~20 MB per
+    call was the dominant cost for short series."""
+    if _SCRATCH_CACHE and _SCRATCH_CACHE[0].fits(nrows, width, out_len):
+        return _SCRATCH_CACHE[0]
+    scratch = _Scratch(nrows, width, out_len)
+    _SCRATCH_CACHE.clear()
+    _SCRATCH_CACHE.append(scratch)
+    return scratch
 
 
 def _block_corr(
@@ -209,8 +236,8 @@ def _sweep(
     if first_diag >= plen_o:
         return
     width = min(plen_o - (first_diag if self_join else 0), plen_i)
-    block = max(1, _BLOCK_CELLS // max(1, max(width, plen_o)))
-    scratch = _Scratch(block, width, plen_o)
+    block = max(1, min(_BLOCK_ROWS, _BLOCK_CELLS // max(1, max(width, plen_o))))
+    scratch = _get_scratch(block, width, plen_o)
     inner_win = inner[:w] - mu_i[0]
 
     for d0 in range(first_diag, plen_o, block):

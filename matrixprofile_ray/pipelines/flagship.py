@@ -1,44 +1,45 @@
 """The flagship pipeline: pages → rollup tiers → gap-filled series →
 Gorilla payloads → matrix profiles → discoveries.
 
-Every stage is a lazy Dataset transform; nothing materializes the full
-input. Execution topology per tier:
+Execution topology — exactly ONE all-to-all exchange:
 
     read/generate pages
-      └─ map_batches(partial_rollup)          stateless combiner, pyarrow
-         └─ groupby(domain, bucket).aggregate  the ONE wide shuffle
-            └─ map_batches(finalize)
-               ├─ write buckets (tier=raw)
-               ├─ cascade → 1h → 1d → 7d       partial+final, tiny inputs
-               └─ groupby(domain).map_groups(SeriesAssembler)
-                  ├─ map_batches(encode_series)    → series_gorilla sink
-                  └─ map_batches(ProfileStage)     actor pool
-                     └─ map_batches(DiscoveryStage) actor pool → discoveries
+      └─ map_batches(partial_rollup raw)       stateless combiner, pyarrow
+         └─ groupby(domain).map_groups(DomainPipeline)   THE shuffle
+              raw-merge → 1h → 1d → 7d cascade → gap-fill, all per-domain
+            └─ series rows (one per domain × tier)  [materialized: tiny]
+               ├─ map_batches(encode_series)        → series_gorilla
+               └─ map_batches(ProfileStage)         actor pool
+                  └─ map_batches(DiscoveryStage)    actor pool → discoveries
 
-The cascade means the corpus is scanned ONCE; coarser tiers derive from the
-finest rollup, not from pages.
+The corpus is scanned ONCE; the in-batch partial combine collapses it to
+≤ (domains × raw buckets) rows before the single shuffle, so the exchange
+volume is bounded by the bucket grid, not the page count. The per-tier
+``rollup_tier`` / ``cascade_tier`` path (stages/rollup.py) remains for
+bucket-table outputs and oracle checks; the flagship hot path fuses it.
 """
 
 from __future__ import annotations
 
 from matrixprofile_ray.stages.discovery import DiscoveryStage
+from matrixprofile_ray.stages.domain_pipeline import DomainPipeline
 from matrixprofile_ray.stages.encode import encode_series
 from matrixprofile_ray.stages.gapfill import SeriesAssembler
 from matrixprofile_ray.stages.profile import ProfileStage
 from matrixprofile_ray.stages.rollup import TIERS, cascade_tier, rollup_tier
 
-__all__ = ["bucket_tiers", "series_for_tier", "flagship"]
+__all__ = ["bucket_tiers", "series_for_tier", "series_all_tiers", "flagship"]
 
 _CASCADE = ["raw", "1h", "1d", "7d"]
 
 
 def bucket_tiers(pages_ds, tiers=("raw", "1h", "1d", "7d")) -> dict:
-    """All requested tiers as Datasets; one corpus scan + cascaded rollups."""
+    """All requested tiers as bucket-table Datasets; one corpus scan +
+    cascaded rollups. (Bucket-table output path; the flagship series path
+    uses the fused single-shuffle ``series_all_tiers`` instead.)"""
     out = {}
     base = rollup_tier(pages_ds, "raw")
     if len(tiers) > 1:
-        # the cascade re-reads the raw tier a few times; it is tiny compared
-        # to pages, but pinning it avoids recomputing the wide shuffle
         base = base.materialize()
     out["raw"] = base
     prev = base
@@ -48,9 +49,12 @@ def bucket_tiers(pages_ds, tiers=("raw", "1h", "1d", "7d")) -> dict:
         ):
             break
         nxt = cascade_tier(prev, tier)
-        if tier in tiers:
-            out[tier] = nxt
+        # pin each intermediate ONCE and hand the pinned dataset to both the
+        # next cascade step and the caller — otherwise every consumer
+        # re-executes the tier's shuffle
         prev = nxt.materialize() if tier != _CASCADE[-1] else nxt
+        if tier in tiers:
+            out[tier] = prev
     return {t: out[t] for t in tiers if t in out}
 
 
@@ -67,58 +71,74 @@ def series_for_tier(bucket_ds, tier: str, value_col: str = "count",
     )
 
 
+def series_all_tiers(pages_ds, tiers=("raw", "1h", "1d", "7d"),
+                     value_col: str = "count"):
+    """pages → gap-filled series rows for every tier, ONE shuffle total."""
+    from matrixprofile_ray.stages.rollup import partial_rollup
+
+    partials = pages_ds.map_batches(
+        lambda b: partial_rollup(b, TIERS["raw"]),
+        batch_format="pyarrow",
+    )
+    pipeline = DomainPipeline(tiers=tiers, value_col=value_col)
+
+    def domain_pipeline(group):
+        return pipeline(group)
+
+    return partials.groupby("domain").map_groups(
+        domain_pipeline, batch_format="pandas"
+    )
+
+
 def flagship(
     pages_ds,
-    window: int = 32,
+    window: int = 24,
     algorithm: str = "mpx",
     tiers=("raw", "1h", "1d", "7d"),
     out_dir: str | None = None,
     profile_concurrency: int = 8,
     materialize_series: bool = True,
 ):
-    """Run the full pipeline; returns dict of result Datasets.
+    """Run the full pipeline; returns dict with the series / gorilla /
+    profiles / discoveries Datasets (series rows carry a ``tier`` column).
 
-    When ``out_dir`` is set, buckets / series_gorilla / profiles /
-    discoveries are also written as partitioned parquet (one directory per
-    stage and tier — the resumable layout).
+    When ``out_dir`` is set, outputs are also written as partitioned
+    parquet (one directory per stage — the resumable layout lives in
+    pipelines/runner.py).
     """
-    results = {"buckets": {}, "series": {}, "gorilla": {}, "profiles": {},
-               "discoveries": {}}
-    tier_tables = bucket_tiers(pages_ds, tiers=tiers)
+    series = series_all_tiers(pages_ds, tiers=tiers)
+    if materialize_series:
+        # one dense row per (domain, tier) — tiny relative to pages; at
+        # 100 TB the equivalent is write_parquet + read of the series
+        # table so downstream consumers never rescan the corpus
+        series = series.materialize()
 
-    for tier, bucket_ds in tier_tables.items():
-        results["buckets"][tier] = bucket_ds
-        series = series_for_tier(bucket_ds, tier)
-        if materialize_series:
-            # one dense row per (domain, tier) — tiny relative to pages; at
-            # 100 TB the equivalent is write_parquet + read of the series
-            # table so downstream consumers never rescan the corpus
-            series = series.materialize()
-        results["series"][tier] = series
-        results["gorilla"][tier] = series.map_batches(
-            encode_series, batch_format="pandas"
-        )
-        profiles = series.map_batches(
-            ProfileStage,
-            fn_constructor_kwargs={"window": window, "algorithm": algorithm},
-            batch_format="pandas",
-            batch_size=4,  # heavy rows: small batches keep the pool balanced
-            concurrency=profile_concurrency,
-        )
-        results["profiles"][tier] = profiles
-        results["discoveries"][tier] = profiles.map_batches(
-            DiscoveryStage,
-            batch_format="pandas",
-            batch_size=4,
-            concurrency=profile_concurrency,
-        )
+    gorilla = series.map_batches(encode_series, batch_format="pandas")
+    profiles = series.map_batches(
+        ProfileStage,
+        fn_constructor_kwargs={"window": window, "algorithm": algorithm},
+        batch_format="pandas",
+        batch_size=4,  # heavy rows: small batches keep the pool balanced
+        concurrency=profile_concurrency,
+    )
+    discoveries = profiles.map_batches(
+        DiscoveryStage,
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=profile_concurrency,
+    )
+    results = {
+        "series": series,
+        "gorilla": gorilla,
+        "profiles": profiles,
+        "discoveries": discoveries,
+    }
 
     if out_dir:
         import os
 
-        for stage in ("buckets", "discoveries"):
-            for tier, ds in results[stage].items():
-                path = os.path.join(out_dir, stage, f"tier={tier}")
-                os.makedirs(path, exist_ok=True)
-                ds.write_parquet(path)
+        for stage in ("gorilla", "discoveries"):
+            path = os.path.join(out_dir, stage)
+            os.makedirs(path, exist_ok=True)
+            results[stage].write_parquet(path)
     return results

@@ -92,7 +92,6 @@ def rollup_events(
     partials = ds.map_batches(
         lambda b: _partial(b, key, ts_col, value_col, bucket_us),
         batch_format="pyarrow",
-        batch_size=65536,
     )
     merged = partials.groupby(["key", "bucket_ts"]).aggregate(*_merge_aggs())
     if keep_partials:

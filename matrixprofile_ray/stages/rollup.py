@@ -127,7 +127,6 @@ def rollup_tier(pages_ds, tier: str):
     partials = pages_ds.map_batches(
         lambda b: partial_rollup(b, bucket_us),
         batch_format="pyarrow",
-        batch_size=32768,
     )
     merged = partials.groupby(["domain", "bucket_ts"]).aggregate(*rollup_aggs())
     return merged.map_batches(
@@ -141,7 +140,6 @@ def cascade_tier(bucket_ds, tier: str):
     partials = bucket_ds.map_batches(
         lambda b: cascade_partial(b, bucket_us),
         batch_format="pyarrow",
-        batch_size=65536,
     )
     merged = partials.groupby(["domain", "bucket_ts"]).aggregate(*rollup_aggs())
     return merged.map_batches(

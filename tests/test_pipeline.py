@@ -202,12 +202,12 @@ class TestFlagshipSmoke:
         from matrixprofile_ray.pipelines.flagship import flagship
 
         res = flagship(pages_ds, window=8, tiers=("1d",), profile_concurrency=2)
-        profiles = res["profiles"]["1d"].to_pandas()
+        profiles = res["profiles"].to_pandas()
         assert len(profiles) > 0
         # profile length invariant: len(mp) == n - w + 1 (reference core.py:121-138)
         for _, row in profiles.iterrows():
             assert len(row["mp"]) == row["n"] - row["w"] + 1
             assert len(row["pi"]) == len(row["mp"])
-        discoveries = res["discoveries"]["1d"].to_pandas()
+        discoveries = res["discoveries"].to_pandas()
         assert set(discoveries["kind"]).issubset({"motif", "discord", "regime"})
         assert (discoveries["score"] >= 0).all()
