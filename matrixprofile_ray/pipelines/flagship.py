@@ -112,6 +112,11 @@ def flagship(
         # 100 TB the equivalent is write_parquet + read of the series
         # table so downstream consumers never rescan the corpus
         series = series.materialize()
+        # Ray schedules ONE actor task per input block and map_groups emits
+        # skewed blocks (a 300-row block = a 5-minute straggler); split to
+        # a few rows per block so the pool load-balances
+        n_rows = series.count()
+        series = series.repartition(max(1, n_rows // 2)).materialize()
 
     gorilla = series.map_batches(encode_series, batch_format="pandas")
     profiles = series.map_batches(

@@ -159,6 +159,8 @@ def run_resumable(
         t0 = time.time()
         shard_series = rd.read_parquet(shard_dir)
         n_in = shard_series.count()
+        # one task per block: split so the actor pool load-balances
+        shard_series = shard_series.repartition(max(1, n_in // 2)).materialize()
 
         gorilla = shard_series.map_batches(
             encode_series, batch_format="pandas"

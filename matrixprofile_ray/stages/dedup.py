@@ -108,10 +108,20 @@ def minhash_dedup_pairs(
     signatures, filter ≥ threshold, dedup pairs. The only shuffles are the
     per-band groupbys on 8-byte keys.
     """
-    sigs = ds.map_batches(
-        lambda b: minhash_signatures(b, num_perm, shingle_k, bands),
-        batch_format="pyarrow",
-    ).materialize()
+    def long_signatures(batch: pa.Table) -> pa.Table:
+        """One row per (doc, band): the 16-per-band groupbys become ONE
+        groupby on the composite (band, bucket) key."""
+        sig_tbl = minhash_signatures(batch, num_perm, shingle_k, bands)
+        n = sig_tbl.num_rows
+        parts = []
+        for bi in range(bands):
+            parts.append(pa.table({
+                "band": pa.array(np.full(n, bi, dtype=np.int64)),
+                "bucket": sig_tbl[f"band_{bi}"],
+                "doc_id": sig_tbl["doc_id"],
+                "sig": sig_tbl["sig"],
+            }))
+        return pa.concat_tables(parts)
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
@@ -134,13 +144,11 @@ def minhash_dedup_pairs(
                 out_s.append(float(s))
         return pd.DataFrame({"a": out_a, "b": out_b, "sim": out_s})
 
-    per_band = [
-        sigs.select_columns(["doc_id", "sig", f"band_{bi}"])
-        .groupby(f"band_{bi}")
+    allpairs = (
+        ds.map_batches(long_signatures, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
         .map_groups(pairs_in_bucket, batch_format="pandas")
-        for bi in range(bands)
-    ]
-    allpairs = per_band[0].union(*per_band[1:])
+    )
 
     def _rename(tbl: pa.Table) -> pa.Table:
         return tbl.rename_columns(
