@@ -49,7 +49,7 @@ def bench_flagship(num_cpus: int, n_pages: int) -> dict:
         pages,
         window=24,
         tiers=("raw", "1h", "1d", "7d"),
-        profile_concurrency=max(2, num_cpus // 2),
+        profile_concurrency=max(2, (num_cpus * 3) // 4),
     )
     rolled_points = int(res["series"].sum("n"))
     discoveries = res["discoveries"].count()

@@ -30,6 +30,13 @@ from matrixprofile_ray.core.mathutil import (
 from matrixprofile_ray.core.mpx import mpx, mpx_ab
 from matrixprofile_ray.core.mass2 import mass2
 from matrixprofile_ray.core.stomp import stomp
+from matrixprofile_ray.core.mstomp import mstomp
+from matrixprofile_ray.core.cluster import (
+    fcluster,
+    hierarchical_clusters,
+    linkage,
+    pairwise_dist,
+)
 from matrixprofile_ray.core.stampi import stampi_init, stampi_append
 from matrixprofile_ray.core.scrimp import prescrimp, scrimp_plus_plus
 from matrixprofile_ray.core.mpdist import (

@@ -130,7 +130,9 @@ def flagship(
         DiscoveryStage,
         batch_format="pandas",
         batch_size=4,
-        concurrency=profile_concurrency,
+        # discovery is ~50x cheaper than profiling; keep the pool small so
+        # profile actors get the CPUs
+        concurrency=max(2, profile_concurrency // 4),
     )
     results = {
         "series": series,
