@@ -314,6 +314,158 @@ def q_gorilla_1h(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_mstomp_1h(sf_dir: str):
+    """Multidimensional MP over (count, mean_value) per-key 1h series."""
+    import ray.data as rd
+
+    from matrixprofile_ray.core.mstomp import mstomp
+    from matrixprofile_ray.pipelines.timeseries import (
+        rollup_events,
+        series_from_buckets,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1).materialize()
+    s_count = series_from_buckets(buckets, H1, value_col="count").to_pandas()
+    s_mean = series_from_buckets(
+        buckets, H1, value_col="mean_value"
+    ).to_pandas()
+    merged = s_count.merge(
+        s_mean, on="event_type", suffixes=("_count", "_mean")
+    )
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in batch.iterrows():
+            ts2 = np.vstack([
+                np.asarray(r["values_count"], dtype="d"),
+                np.asarray(r["values_mean"], dtype="d"),
+            ])
+            p = mstomp(ts2, 24)
+            rows.append({
+                "event_type": r["event_type"],
+                "w": 24,
+                "n_dim": 2,
+                "mp_len": p["mp"].shape[1],
+                "mp0_min": round(float(np.min(p["mp"][0])), 6),
+                "mp1_min": round(float(np.min(p["mp"][1])), 6),
+            })
+        return pd.DataFrame(rows)
+
+    return rd.from_pandas(
+        merged[["event_type", "values_count", "values_mean"]]
+    ).map_batches(run, batch_format="pandas", batch_size=2)
+
+
+def q_ab_join_1h(sf_dir: str):
+    """AB similarity join: each key's series vs the broadcast all-events
+    series (small side via ray.put — no shuffle join)."""
+    import ray
+
+    import matrixprofile_ray.core as core
+    from matrixprofile_ray.pipelines.timeseries import (
+        rollup_events,
+        series_from_buckets,
+    )
+
+    # the "all traffic" series: same rollup with a constant key
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def tag_all(batch):
+        import pyarrow as pa
+
+        return batch.set_column(
+            batch.schema.get_field_index("event_type"),
+            "event_type",
+            pa.array(["__all__"] * batch.num_rows, pa.string()),
+        )
+
+    all_ds = ds.map_batches(tag_all, batch_format="pyarrow")
+    all_buckets = rollup_events(all_ds, H1)
+    all_series = series_from_buckets(all_buckets, H1).to_pandas()
+    query_vals = np.asarray(all_series["values"].iloc[0], dtype="d")
+    query_ref = ray.put(query_vals)
+
+    series = _series_1h(sf_dir)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        query = ray.get(query_ref)
+        rows = []
+        for _, r in batch.iterrows():
+            a = np.asarray(r["values"], dtype="d")
+            mp, pi, mpb, pib = core.mpx_ab(a, query, 24)
+            rows.append({
+                "event_type": r["event_type"],
+                "w": 24,
+                "mp_len": len(mp),
+                "mpb_len": len(mpb),
+                "mp_min": round(float(np.min(mp)), 6),
+                "mp_min_idx": int(np.argmin(mp)),
+            })
+        return pd.DataFrame(rows)
+
+    return series.map_batches(join, batch_format="pandas", batch_size=2)
+
+
+def q_cluster_events(sf_dir: str):
+    """MPDist hierarchical clustering of the per-key series (reference
+    hierarchical_clustering.py); pairwise distances computed distributed."""
+    import ray.data as rd
+
+    import matrixprofile_ray.core as core
+
+    series = _series_1h(sf_dir).to_pandas().sort_values("event_type")
+    keys = series["event_type"].tolist()
+    vals = [np.asarray(v, dtype="d") for v in series["values"]]
+    pairs = [
+        {"i": i, "j": j}
+        for i in range(len(keys))
+        for j in range(i + 1, len(keys))
+    ]
+
+    def compute(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in batch.iterrows():
+            d = core.mpdist(vals[int(r["i"])], vals[int(r["j"])], 24)
+            out.append({"i": int(r["i"]), "j": int(r["j"]), "d": float(d)})
+        return pd.DataFrame(out)
+
+    dists = (
+        rd.from_items(pairs)
+        .map_batches(compute, batch_format="pandas", batch_size=2)
+        .to_pandas()
+        .sort_values(["i", "j"])
+    )
+    res = core.hierarchical_clusters(
+        vals, 24, t=2, condensed=dists["d"].to_numpy()
+    )
+    return pd.DataFrame({
+        "event_type": keys,
+        "cluster": res["assignments"].astype("int64"),
+    })
+
+
+def q_max_subsequence_1h(sf_dir: str):
+    """Per-key maximum_subsequence window search (reference skimp.py:246)."""
+    import matrixprofile_ray.core as core
+
+    series = _series_1h(sf_dir)
+
+    def search(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in batch.iterrows():
+            vals = np.asarray(r["values"], dtype="d")
+            try:
+                upper = core.maximum_subsequence(vals, threshold=0.95)
+            except Exception:
+                upper = -1
+            rows.append({"event_type": r["event_type"],
+                         "upper_window": int(upper)})
+        return pd.DataFrame(rows)
+
+    return series.map_batches(search, batch_format="pandas", batch_size=2)
+
+
 # ------------------------------------------------------- corpus operators
 
 def q_dedup_exact(sf_dir: str):
@@ -514,6 +666,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regimes_1h": q_regimes_1h,
         "snippets_1d": q_snippets_1d,
         "mpdist_pairs_1h": q_mpdist_pairs_1h,
+        "mstomp_1h": q_mstomp_1h,
+        "ab_join_1h": q_ab_join_1h,
+        "cluster_events": q_cluster_events,
+        "max_subsequence_1h": q_max_subsequence_1h,
         "gorilla_1h": q_gorilla_1h,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
