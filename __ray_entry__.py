@@ -28,6 +28,9 @@ _STOPWORDS_SQL = "['the','a','of','and','to','in','is','it','that','for']"
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
+    from matrixprofile_ray.util import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
     return rd.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
     )
@@ -445,6 +448,32 @@ def q_cluster_events(sf_dir: str):
     })
 
 
+def q_av_complexity_1h(sf_dir: str):
+    """Annotation-vector correction: cmp = mp + (1-av)*max(mp) with the
+    complexity AV (reference transform.py:15-87, 90-285)."""
+    from matrixprofile_ray.core.transform import apply_av
+    from matrixprofile_ray.pipelines.timeseries import profile_series
+
+    profiles = profile_series(_series_1h(sf_dir), 24, algorithm="mpx")
+
+    def correct(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in batch.iterrows():
+            mp = np.asarray(r["mp"], dtype="d")
+            ts = np.asarray(r["values"], dtype="d")
+            cmp_, av = apply_av(mp, ts, int(r["w"]), av="complexity")
+            rows.append({
+                "event_type": r["event_type"],
+                "w": int(r["w"]),
+                "cmp_min": round(float(np.min(cmp_)), 6),
+                "cmp_argmin": int(np.argmin(cmp_)),
+                "av_mean": round(float(np.mean(av)), 6),
+            })
+        return pd.DataFrame(rows)
+
+    return profiles.map_batches(correct, batch_format="pandas", batch_size=4)
+
+
 def q_max_subsequence_1h(sf_dir: str):
     """Per-key maximum_subsequence window search (reference skimp.py:246)."""
     import matrixprofile_ray.core as core
@@ -644,7 +673,11 @@ def entry() -> Any:
         profile_series,
     )
 
-    profiles = profile_series(_series_1h(sf_dir), 24, algorithm="mpx")
+    # materialize between the two actor pools: under tiny test sessions
+    # (4 CPUs) two concurrently-reserved pools starve the upstream read
+    profiles = profile_series(
+        _series_1h(sf_dir), 24, algorithm="mpx"
+    ).materialize()
     disc = discover_series(profiles).to_pandas()
     return disc[["event_type", "w", "kind", "rank", "idx", "pair_idx", "score"]]
 
@@ -670,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_join_1h": q_ab_join_1h,
         "cluster_events": q_cluster_events,
         "max_subsequence_1h": q_max_subsequence_1h,
+        "av_complexity_1h": q_av_complexity_1h,
         "gorilla_1h": q_gorilla_1h,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,

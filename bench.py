@@ -24,6 +24,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "200000"))
+PAGES_DOMAINS = int(os.environ.get("GRAFT_DOMAINS", "200"))
+# the scaling criterion needs enough work to keep 32 CPUs busy — a bigger
+# synthetic universe (more domains ⇒ more series ⇒ more profile work), same
+# deterministic generator
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "1000000"))
+SCALING_DOMAINS = int(os.environ.get("GRAFT_SCALING_DOMAINS", "5000"))
 
 
 def _init_ray(num_cpus: int):
@@ -38,18 +44,19 @@ def _init_ray(num_cpus: int):
         )
 
 
-def bench_flagship(num_cpus: int, n_pages: int) -> dict:
+def bench_flagship(num_cpus: int, n_pages: int,
+                   n_domains: int = PAGES_DOMAINS) -> dict:
     """North-star pipeline: synthetic pages → 4 tiers → profiles → discoveries."""
     from matrixprofile_ray.pipelines.flagship import flagship
     from matrixprofile_ray.sources.pages import pages_dataset
 
     t0 = time.time()
-    pages = pages_dataset(n_pages)
+    pages = pages_dataset(n_pages, n_domains=n_domains)
     res = flagship(
         pages,
         window=24,
         tiers=("raw", "1h", "1d", "7d"),
-        profile_concurrency=max(2, (num_cpus * 3) // 4),
+        profile_concurrency=max(2, num_cpus - 2),
     )
     rolled_points = int(res["series"].sum("n"))
     discoveries = res["discoveries"].count()
@@ -123,6 +130,8 @@ def run_scaling() -> dict:
     for n in (8, 32):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(n)
+        env["GRAFT_PAGES_ROWS"] = str(SCALING_ROWS)
+        env["GRAFT_DOMAINS"] = str(SCALING_DOMAINS)
         proc = subprocess.run(
             [sys.executable, __file__, "--flagship-only"],
             capture_output=True,
@@ -144,7 +153,8 @@ def run_scaling() -> dict:
         "throughput_cpus32_rows_per_sec": thr32,
         "speedup": round(thr32 / thr8, 3),
         "sf": SF_DIR,
-        "pages_rows": PAGES_ROWS,
+        "pages_rows": SCALING_ROWS,
+        "n_domains": SCALING_DOMAINS,
     }
 
 

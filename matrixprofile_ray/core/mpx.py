@@ -274,10 +274,15 @@ def mpx(
     run_v = np.full(plen, -1.0, dtype="d")
     run_i = np.full(plen, -1, dtype=np.int64)
 
-    _sweep(
-        ts, mu, sig, df, dg, ts, mu, sig, df, dg, w,
-        minlag + 1, run_v, run_i, run_v, run_i, self_join=True,
-    )
+    from matrixprofile_ray.core import _native
+
+    if not _native.native_mpx_self(
+        np.ascontiguousarray(ts), mu, sig, df, dg, w, minlag + 1, run_v, run_i
+    ):
+        _sweep(
+            ts, mu, sig, df, dg, ts, mu, sig, df, dg, w,
+            minlag + 1, run_v, run_i, run_v, run_i, self_join=True,
+        )
 
     np.minimum(run_v, 1.0, out=run_v)
     if cross_correlation:
@@ -311,10 +316,21 @@ def mpx_ab(
     mpb = np.full(plen_b, -1.0, dtype="d")
     mpib = np.full(plen_b, -1, dtype=np.int64)
 
-    _sweep(ts, mua, siga, dfa, dga, query, mub, sigb, dfb, dgb, w,
-           0, mp, mpi, mpb, mpib, self_join=False)
-    _sweep(query, mub, sigb, dfb, dgb, ts, mua, siga, dfa, dga, w,
-           0, mpb, mpib, mp, mpi, self_join=False)
+    from matrixprofile_ray.core import _native
+
+    ts_c = np.ascontiguousarray(ts)
+    q_c = np.ascontiguousarray(query)
+    if _native.native_mpx_ab(ts_c, mua, siga, dfa, dga,
+                             q_c, mub, sigb, dfb, dgb,
+                             w, mp, mpi, mpb, mpib):
+        _native.native_mpx_ab(q_c, mub, sigb, dfb, dgb,
+                              ts_c, mua, siga, dfa, dga,
+                              w, mpb, mpib, mp, mpi)
+    else:
+        _sweep(ts, mua, siga, dfa, dga, query, mub, sigb, dfb, dgb, w,
+               0, mp, mpi, mpb, mpib, self_join=False)
+        _sweep(query, mub, sigb, dfb, dgb, ts, mua, siga, dfa, dga, w,
+               0, mpb, mpib, mp, mpi, self_join=False)
 
     if cross_correlation:
         np.minimum(mp, 1.0, out=mp)

@@ -65,6 +65,30 @@ def impute_missing(
         temp[-1] = temp[~bad][-1]
         bad = ~np.isfinite(temp)
 
+    if (direction.startswith("f") and method == "mean"
+            and window <= 8 and len(temp) >= window):
+        # (window ≤ 8 keeps python sum() bit-identical to np.mean, which
+        # switches to unrolled/pairwise accumulation on longer slices)
+        # Fast path, EXACT same results as the generic sweep below: after
+        # window 0 is filled (the seeded endpoint makes it non-empty), each
+        # later window introduces at most one new NaN — its rightmost
+        # element — so the sweep degenerates to a scalar recurrence
+        # x[t] = mean(x[t-w+1:t]). Python-float arithmetic on a list keeps
+        # it ~200x faster than per-window numpy slicing on sparse series.
+        n = len(temp)
+        head_bad = bad[:window]
+        if head_bad.any():
+            temp[:window][head_bad] = temp[:window][~head_bad].mean()
+        gaps = np.flatnonzero(bad[window:]) + window
+        if len(gaps):
+            buf = temp.tolist()
+            wm1 = window - 1
+            for t in gaps:
+                seg = buf[t - wm1 : t]
+                buf[t] = sum(seg) / wm1
+            temp = np.asarray(buf)
+        return temp
+
     if direction.startswith("f"):
         index_order = range(len(temp) - window + 1)
     else:
@@ -97,21 +121,23 @@ def preprocess(
     if add_noise:
         if rng is None:
             rng = np.random.default_rng(0)
-        # candidate constant windows found vectorized (rolling min == max);
-        # each candidate is re-checked before noising because earlier noise
-        # de-flattens overlapping windows (sequential reference semantics,
-        # preprocess.py:262-269)
-        if len(temp) >= window:
-            from matrixprofile_ray.core.moving import rolling_window
-
-            win = rolling_window(temp, window)
-            candidates = np.flatnonzero(
-                win.min(axis=1) == win.max(axis=1)
-            )
-            for start in candidates:
-                end = start + window
-                if is_subsequence_constant(temp[start:end]):
-                    temp[start:end] = add_noise_to_series(
-                        temp[start:end], rng=rng
+        # Equivalent to the sequential window scan (noise window s, then the
+        # next fully-un-noised constant window is s+window), expressed over
+        # maximal equal-value runs: within a run [a, b) noise lands at
+        # a, a+w, a+2w, ... while the window fits. Same windows in the same
+        # ascending order ⇒ identical rng draw sequence ⇒ identical output,
+        # but O(#runs + #noised) instead of a per-position python loop
+        # (imputation of sparse series creates ~n-long constant runs).
+        n = len(temp)
+        if n >= window:
+            change = np.flatnonzero(temp[1:] != temp[:-1]) + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [n]])
+            for a, b in zip(starts, ends):
+                s = a
+                while s + window <= b:
+                    temp[s : s + window] = add_noise_to_series(
+                        temp[s : s + window], rng=rng
                     )
+                    s += window
     return temp

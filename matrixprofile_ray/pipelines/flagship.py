@@ -37,6 +37,9 @@ def bucket_tiers(pages_ds, tiers=("raw", "1h", "1d", "7d")) -> dict:
     """All requested tiers as bucket-table Datasets; one corpus scan +
     cascaded rollups. (Bucket-table output path; the flagship series path
     uses the fused single-shuffle ``series_all_tiers`` instead.)"""
+    from matrixprofile_ray.util import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
     out = {}
     base = rollup_tier(pages_ds, "raw")
     if len(tiers) > 1:
@@ -75,6 +78,9 @@ def series_all_tiers(pages_ds, tiers=("raw", "1h", "1d", "7d"),
                      value_col: str = "count"):
     """pages → gap-filled series rows for every tier, ONE shuffle total."""
     from matrixprofile_ray.stages.rollup import partial_rollup
+    from matrixprofile_ray.util import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
 
     partials = pages_ds.map_batches(
         lambda b: partial_rollup(b, TIERS["raw"]),
@@ -111,12 +117,9 @@ def flagship(
         # one dense row per (domain, tier) — tiny relative to pages; at
         # 100 TB the equivalent is write_parquet + read of the series
         # table so downstream consumers never rescan the corpus
-        series = series.materialize()
-        # Ray schedules ONE actor task per input block and map_groups emits
-        # skewed blocks (a 300-row block = a 5-minute straggler); split to
-        # a few rows per block so the pool load-balances
-        n_rows = series.count()
-        series = series.repartition(max(1, n_rows // 2)).materialize()
+        # hash-shuffle reduce output is ~200 balanced blocks; split only if
+        # a block still exceeds a handful of rows per actor task
+        series = series.repartition(target_num_rows_per_block=8).materialize()
 
     gorilla = series.map_batches(encode_series, batch_format="pandas")
     profiles = series.map_batches(
@@ -126,13 +129,18 @@ def flagship(
         batch_size=4,  # heavy rows: small batches keep the pool balanced
         concurrency=profile_concurrency,
     )
+    # discovery is ~50x cheaper than profiling and stateless (config only):
+    # run it as elastic TASKS so it never statically partitions CPUs away
+    # from the profile actor pool
+    discovery = DiscoveryStage()
+
+    def discover_batch(batch):
+        return discovery(batch)
+
     discoveries = profiles.map_batches(
-        DiscoveryStage,
+        discover_batch,
         batch_format="pandas",
         batch_size=4,
-        # discovery is ~50x cheaper than profiling; keep the pool small so
-        # profile actors get the CPUs
-        concurrency=max(2, profile_concurrency // 4),
     )
     results = {
         "series": series,

@@ -117,6 +117,9 @@ def run_resumable(
     import ray.data as rd
 
     from matrixprofile_ray.pipelines.flagship import series_all_tiers
+    from matrixprofile_ray.util import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
     from matrixprofile_ray.stages.discovery import DiscoveryStage
     from matrixprofile_ray.stages.encode import encode_series
     from matrixprofile_ray.stages.profile import ProfileStage

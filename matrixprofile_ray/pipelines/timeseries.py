@@ -89,6 +89,9 @@ def rollup_events(
     Output columns: <key>, bucket_ts (epoch µs), count, sum_value,
     min_value, max_value, mean_value.
     """
+    from matrixprofile_ray.util import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
     partials = ds.map_batches(
         lambda b: _partial(b, key, ts_col, value_col, bucket_us),
         batch_format="pyarrow",
@@ -103,6 +106,9 @@ def rollup_events(
 
 def cascade_events(partial_ds, bucket_us: int, key_out: str = "event_type"):
     """Partial bucket table (keep_partials=True) → coarser-tier rollup."""
+    from matrixprofile_ray.util import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
 
     def rebucket(batch: pa.Table) -> pa.Table:
         bucket = pc.multiply(pc.divide(batch["bucket_ts"], bucket_us), bucket_us)
@@ -129,6 +135,9 @@ def series_from_buckets(
     add_noise: bool = True,
 ):
     """Bucket table → one gap-filled dense series row per key."""
+    from matrixprofile_ray.util import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
 
     def assemble(group: pd.DataFrame) -> pd.DataFrame:
         g = group.rename(columns={key: "domain"})

@@ -33,7 +33,7 @@ PAGES_SCHEMA = pa.schema(
     ]
 )
 
-N_DOMAINS = 200
+N_DOMAINS = 200  # default; override per call for bigger universes
 ZIPF_S = 1.2
 BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
 SPAN_DAYS = 56
@@ -71,22 +71,22 @@ def _uniform(x: np.ndarray, salt: int) -> np.ndarray:
     return _mix(x, salt).astype(np.float64) / np.float64(2**64)
 
 
-_ZIPF_CDF = None
+_ZIPF_CDF: dict = {}
 
 
-def _zipf_cdf() -> np.ndarray:
-    global _ZIPF_CDF
-    if _ZIPF_CDF is None:
-        p = 1.0 / np.arange(1, N_DOMAINS + 1) ** ZIPF_S
-        _ZIPF_CDF = np.cumsum(p / p.sum())
-    return _ZIPF_CDF
+def _zipf_cdf(n_domains: int) -> np.ndarray:
+    if n_domains not in _ZIPF_CDF:
+        p = 1.0 / np.arange(1, n_domains + 1) ** ZIPF_S
+        _ZIPF_CDF[n_domains] = np.cumsum(p / p.sum())
+    return _ZIPF_CDF[n_domains]
 
 
-def generate_pages(indices: np.ndarray, seed: int = 42) -> pa.Table:
+def generate_pages(indices: np.ndarray, seed: int = 42,
+                   n_domains: int = N_DOMAINS) -> pa.Table:
     """Generate the pages rows for the given global row indices."""
     idx = np.asarray(indices, dtype=np.uint64) + np.uint64(seed) * np.uint64(1 << 32)
 
-    domain_id = np.searchsorted(_zipf_cdf(), _uniform(idx, 1))
+    domain_id = np.searchsorted(_zipf_cdf(n_domains), _uniform(idx, 1))
     # unique page namespace per domain, ~1% collisions ⇒ duplicate urls
     page_id = _mix(idx, 2) % np.uint64(10_000_000)
     dup = _uniform(idx, 3) < 0.01
@@ -134,14 +134,16 @@ def generate_pages(indices: np.ndarray, seed: int = 42) -> pa.Table:
     )
 
 
-def pages_dataset(n_rows: int, seed: int = 42, override_num_blocks: int | None = None):
+def pages_dataset(n_rows: int, seed: int = 42,
+                  override_num_blocks: int | None = None,
+                  n_domains: int = N_DOMAINS):
     """Lazy Ray Dataset of the synthetic corpus (parallel, deterministic)."""
     import ray.data as rd
 
     ds = rd.range(n_rows, override_num_blocks=override_num_blocks)
 
     def _batch(batch: dict) -> pa.Table:
-        return generate_pages(batch["id"], seed=seed)
+        return generate_pages(batch["id"], seed=seed, n_domains=n_domains)
 
     return ds.map_batches(_batch, batch_format="numpy", batch_size=8192)
 

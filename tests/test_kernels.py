@@ -205,3 +205,98 @@ class TestMovingStats:
         mu, sd = core.moving_avg_std(x, 10)
         assert np.all(sd >= 0)
         np.testing.assert_almost_equal(mu, np.full(91, 7.0))
+
+
+class TestPrescrimp:
+    def test_upper_bounds_exact(self, sampledata):
+        mp, _ = core.mpx(sampledata, 32)
+        p = core.prescrimp(sampledata, 32, sample_pct=1.0, random_state=1)
+        assert np.all(p["mp"] >= mp - 1e-6)
+        assert len(p["mp"]) == len(mp)
+
+
+class TestMpdistHelpers:
+    def test_mpdist_vector_shape(self, sampledata):
+        ts = sampledata[:200]
+        sub = sampledata[300:364]
+        out = core.mpdist_vector(ts, sub, 16)
+        assert len(out) == len(ts) - len(sub) + 1
+        assert np.all(out >= 0)
+
+    def test_mass_distance_matrix_shape(self, sampledata):
+        ts = sampledata[:100]
+        q = sampledata[100:140]
+        m = core.mass_distance_matrix(ts, q, 16)
+        assert m.shape == (len(q) - 16 + 1, len(ts) - 16 + 1)
+
+    def test_calculate_mpdist_percentile(self):
+        prof = np.arange(100, dtype="d")
+        d = core.calculate_mpdist(prof, 0.05, 200)
+        assert d == prof[int(np.ceil(0.05 * 200))]
+
+
+class TestNativeParity:
+    """C fast path vs numpy block kernel: identical values and indices."""
+
+    def test_self_join_random(self):
+        import importlib
+
+        from matrixprofile_ray.core import _native
+
+        mpxmod = importlib.import_module("matrixprofile_ray.core.mpx")
+
+        if not _native.available():
+            pytest.skip("no C compiler")
+        rng = np.random.default_rng(11)
+        for n, w in ((300, 8), (1000, 24), (2048, 50)):
+            ts = rng.normal(size=n)
+            mp_c, pi_c = core.mpx(ts, w)
+            # force the numpy path
+            import math
+
+            plen = n - w + 1
+            mu, sig = core.muinvn(ts, w)
+            df, dg = mpxmod._diffs(ts, mu, w)
+            v = np.full(plen, -1.0)
+            i = np.full(plen, -1, dtype=np.int64)
+            mpxmod._sweep(ts, mu, sig, df, dg, ts, mu, sig, df, dg, w,
+                          int(math.ceil(w / 4.0)) + 1, v, i, v, i,
+                          self_join=True)
+            np.minimum(v, 1.0, out=v)
+            mp_np = np.sqrt(2.0 * w * (1.0 - v))
+            np.testing.assert_allclose(mp_c, mp_np, atol=1e-10)
+            np.testing.assert_array_equal(pi_c, i)
+
+    def test_ab_join_random(self):
+        import importlib
+
+        from matrixprofile_ray.core import _native
+
+        mpxmod = importlib.import_module("matrixprofile_ray.core.mpx")
+
+        if not _native.available():
+            pytest.skip("no C compiler")
+        rng = np.random.default_rng(12)
+        ts = rng.normal(size=800)
+        q = rng.normal(size=200)
+        mp_c, pi_c, mpb_c, pib_c = core.mpx_ab(ts, q, 16)
+        pa, pb = len(ts) - 15, len(q) - 15
+        mua, siga = core.muinvn(ts, 16)
+        mub, sigb = core.muinvn(q, 16)
+        dfa, dga = mpxmod._diffs(ts, mua, 16)
+        dfb, dgb = mpxmod._diffs(q, mub, 16)
+        mp = np.full(pa, -1.0); mpi = np.full(pa, -1, dtype=np.int64)
+        mpb = np.full(pb, -1.0); mpib = np.full(pb, -1, dtype=np.int64)
+        mpxmod._sweep(ts, mua, siga, dfa, dga, q, mub, sigb, dfb, dgb, 16,
+                      0, mp, mpi, mpb, mpib, self_join=False)
+        mpxmod._sweep(q, mub, sigb, dfb, dgb, ts, mua, siga, dfa, dga, 16,
+                      0, mpb, mpib, mp, mpi, self_join=False)
+        for arr in (mp, mpb):
+            none = arr == -1.0
+            np.minimum(arr, 1.0, out=arr)
+            arr[:] = np.sqrt(2.0 * 16 * (1.0 - arr))
+            arr[none] = np.inf
+        np.testing.assert_allclose(mp_c, mp, atol=1e-10)
+        np.testing.assert_array_equal(pi_c, mpi)
+        np.testing.assert_allclose(mpb_c, mpb, atol=1e-10)
+        np.testing.assert_array_equal(pib_c, mpib)
