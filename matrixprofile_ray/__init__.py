@@ -16,9 +16,7 @@ caller (bench.py, tests, or the driver).
 
 __version__ = "0.1.0"
 
-# Engine default: hash-based shuffling for all key-based exchanges (none of
-# our wide ops needs a global sort; the sort shuffle costs tens of seconds of
-# fixed latency per exchange). No-op on Ray versions without the strategy.
-from matrixprofile_ray.util import ensure_hash_shuffle as _ensure_hash_shuffle
-
-_ensure_hash_shuffle()
+# NOTE: hash-shuffle DataContext defaults are applied by the pipeline
+# builders via util.ensure_hash_shuffle(), NOT at import: the knobs must be
+# sized to the live cluster (a 64-aggregator default deadlocks a 4-CPU
+# session), and at import time ray.init() may not have happened yet.

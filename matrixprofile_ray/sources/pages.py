@@ -100,34 +100,60 @@ def generate_pages(indices: np.ndarray, seed: int = 42,
 
     lang = _LANGS[np.searchsorted(_LANG_CDF, _uniform(idx, 6))]
 
-    # text: pure function of the url (via its (domain_id, page_id) identity)
+    # text: pure function of the url (via its (domain_id, page_id) identity).
+    # Fully vectorized: one flat token-id array for the whole batch, joined
+    # per row through an Arrow ListArray (no python row loop).
+    import pyarrow.compute as pc
+
     url_key = _mix(domain_id.astype(np.uint64) * np.uint64(10_000_019) + page_id, 7)
     n_tokens = 20 + (_mix(url_key, 8) % np.uint64(120)).astype(np.int64)
     vocab = _vocab()
 
-    urls, htmls, texts = [], [], []
-    for i in range(len(idx)):
-        d = int(domain_id[i])
-        url = f"https://domain{d:04d}.example/p/{int(page_id[i])}"
-        k = url_key[i]
-        toks = vocab[
-            _mix(np.arange(n_tokens[i], dtype=np.uint64) + k, 9) % np.uint64(512)
-        ]
-        text = " ".join(toks)
-        html = (
-            f"<html><head><title>domain{d:04d}</title></head>"
-            f"<body><p>{text}</p></body></html>"
-        ).encode()
-        urls.append(url)
-        htmls.append(html)
-        texts.append(text)
+    offsets = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(n_tokens, out=offsets[1:])
+    total = int(offsets[-1])
+    # flat positional index within each row: arange(total) - row_start
+    flat_pos = np.arange(total, dtype=np.uint64) - np.repeat(
+        offsets[:-1], n_tokens
+    ).astype(np.uint64)
+    flat_key = np.repeat(url_key, n_tokens)
+    flat_tok = _mix(flat_pos + flat_key, 9) % np.uint64(512)
+    token_list = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()).cast(pa.int32()),
+        pa.array(vocab[flat_tok], pa.string()),
+    )
+    text = pc.binary_join(token_list, " ")
+
+    dom_str = pc.binary_join_element_wise(
+        "domain",
+        pc.utf8_lpad(pc.cast(pa.array(domain_id), pa.string()), 4, "0"),
+        "",
+    )
+    urls = pc.binary_join_element_wise(
+        "https://",
+        dom_str,
+        ".example/p/",
+        pc.cast(pa.array(page_id.astype(np.int64)), pa.string()),
+        "",
+    )
+    html = pc.cast(
+        pc.binary_join_element_wise(
+            "<html><head><title>",
+            dom_str,
+            "</title></head><body><p>",
+            text,
+            "</p></body></html>",
+            "",
+        ),
+        pa.binary(),
+    )
 
     return pa.Table.from_arrays(
         [
-            pa.array(urls, pa.string()),
+            urls,
             pa.array(warc_ts, pa.timestamp("us")),
-            pa.array(htmls, pa.binary()),
-            pa.array(texts, pa.string()),
+            html,
+            text,
             pa.array(lang, pa.string()),
         ],
         schema=PAGES_SCHEMA,

@@ -7,7 +7,7 @@ import os
 __all__ = ["ensure_hash_shuffle"]
 
 
-def _cluster_cpus() -> int:
+def _cluster_cpus() -> int | None:
     try:
         import ray
 
@@ -17,7 +17,7 @@ def _cluster_cpus() -> int:
             )
     except Exception:
         pass
-    return int(os.environ.get("RAY_GRAFT_CPUS", os.cpu_count() or 8))
+    return None  # unknown until ray.init — do not guess
 
 
 def ensure_hash_shuffle() -> None:
@@ -38,7 +38,13 @@ def ensure_hash_shuffle() -> None:
 
         ctx = DataContext.get_current()
         cpus = _cluster_cpus()
+        if cpus is None or cpus < 8:
+            # cluster size unknown (pre-init) or tiny: stay on the default
+            # sort shuffle — mis-sized hash aggregators can deadlock, and
+            # on <8 CPUs the aggregator actors contend with compute pools
+            return
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ctx.min_hash_shuffle_aggregator_wait_time_in_s = 10
         ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
         ctx.default_hash_shuffle_parallelism = max(16, cpus * 2)
         # aggregator actors must not reserve whole CPUs away from the
