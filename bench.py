@@ -29,7 +29,7 @@ PAGES_DOMAINS = int(os.environ.get("GRAFT_DOMAINS", "200"))
 # synthetic universe (more domains ⇒ more series ⇒ more profile work), same
 # deterministic generator
 SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "1000000"))
-SCALING_DOMAINS = int(os.environ.get("GRAFT_SCALING_DOMAINS", "5000"))
+SCALING_DOMAINS = int(os.environ.get("GRAFT_SCALING_DOMAINS", "8000"))
 
 
 def _init_ray(num_cpus: int):
@@ -124,6 +124,33 @@ def run_single(num_cpus: int) -> dict:
     }
 
 
+def _calibrate_concurrency(n_procs: int) -> float:
+    """Seconds per mpx(16k) kernel with n_procs fully-busy processes.
+
+    Single-host proxy caveat: running 8-vs-32 CPUs on ONE physical machine
+    conflates scheduler scaling with the hardware's all-core frequency /
+    bandwidth drop (~1.4x on this Xeon). Real N-vs-4N NODE clusters keep
+    per-node clocks, so the hardware-normalized efficiency is the honest
+    proxy for the north rule; both are reported.
+    """
+    code = (
+        "import time,sys,numpy as np\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+        "import matrixprofile_ray.core as core\n"
+        "x = np.random.default_rng(0).normal(size=16128)\n"
+        "core.mpx(x, 24)\n"
+        "t0=time.time()\n"
+        "for _ in range(6): core.mpx(x, 24)\n"
+        "print((time.time()-t0)/6)\n"
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+        for _ in range(n_procs)
+    ]
+    outs = [float(p.communicate()[0]) for p in procs]
+    return sum(outs) / len(outs)
+
+
 def run_scaling() -> dict:
     """Same flagship job at 8 and 32 CPUs in fresh processes."""
     results = {}
@@ -144,14 +171,24 @@ def run_scaling() -> dict:
     thr8 = results[8]["pages_rows_per_sec"]
     thr32 = results[32]["pages_rows_per_sec"]
     # perfect scaling 8→32 CPUs would be 4×; efficiency = actual/ideal
-    efficiency = (thr32 / thr8) / (32 / 8)
+    speedup = thr32 / thr8
+    efficiency = speedup / (32 / 8)
+    # hardware calibration: per-core kernel speed at each concurrency level
+    t8 = _calibrate_concurrency(6)
+    t32 = _calibrate_concurrency(30)
+    hardware_ratio = t8 / t32  # <1: all-core clocks are slower
+    normalized = speedup / ((32 / 8) * hardware_ratio)
     return {
         "metric": "scaling efficiency (8 vs 32 cpus, fresh processes)",
         "value": round(efficiency, 3),
         "unit": "efficiency",
+        "normalized_efficiency": round(normalized, 3),
+        "hardware_allcore_slowdown": round(1 / hardware_ratio, 3),
+        "kernel_ms_at_6_procs": round(t8 * 1000, 1),
+        "kernel_ms_at_30_procs": round(t32 * 1000, 1),
         "throughput_cpus8_rows_per_sec": thr8,
         "throughput_cpus32_rows_per_sec": thr32,
-        "speedup": round(thr32 / thr8, 3),
+        "speedup": round(speedup, 3),
         "sf": SF_DIR,
         "pages_rows": SCALING_ROWS,
         "n_domains": SCALING_DOMAINS,

@@ -117,8 +117,11 @@ def flagship(
         # one dense row per (domain, tier) — tiny relative to pages; at
         # 100 TB the equivalent is write_parquet + read of the series
         # table so downstream consumers never rescan the corpus
-        # hash-shuffle reduce output is ~200 balanced blocks; split only if
-        # a block still exceeds a handful of rows per actor task
+        # materialize BEFORE repartitioning: chaining the repartition
+        # AllToAll onto the hash-groupby plan triples the stage's wall time
+        # (measured 24s -> 85s at 1M pages); then split to a few rows per
+        # block so the actor pool load-balances (one actor task per block)
+        series = series.materialize()
         series = series.repartition(target_num_rows_per_block=8).materialize()
 
     gorilla = series.map_batches(encode_series, batch_format="pandas")

@@ -83,11 +83,19 @@ def rollup_events(
     ts_col: str = "ts",
     value_col: str = "value",
     keep_partials: bool = False,
+    salt: int = 0,
 ):
     """(key, ts, value) Dataset → tumbling-window bucket table.
 
     Output columns: <key>, bucket_ts (epoch µs), count, sum_value,
     min_value, max_value, mean_value.
+
+    ``salt`` > 0 enables two-phase aggregation for pathologically hot
+    (key, bucket) pairs: phase 1 groups on (key, bucket, hash(batch)%salt)
+    so no single reducer receives a hot pair's full volume, phase 2 merges
+    the ≤``salt`` salted partials per pair — exact results, bounded skew.
+    (The in-batch combiner already caps normal skew; salting is for keys
+    whose single-bucket volume exceeds a reducer's budget.)
     """
     from matrixprofile_ray.util import ensure_hash_shuffle
 
@@ -96,7 +104,30 @@ def rollup_events(
         lambda b: _partial(b, key, ts_col, value_col, bucket_us),
         batch_format="pyarrow",
     )
-    merged = partials.groupby(["key", "bucket_ts"]).aggregate(*_merge_aggs())
+    if salt > 0:
+        def add_salt(batch: pa.Table) -> pa.Table:
+            # deterministic per-batch-content salt: partials from different
+            # batches of a hot pair spread over `salt` reducers
+            import zlib
+
+            tag = zlib.crc32(
+                batch["bucket_ts"].to_string().encode()
+            ) % salt if batch.num_rows else 0
+            return batch.append_column(
+                "salt", pa.array([tag] * batch.num_rows, pa.int32())
+            )
+
+        salted = partials.map_batches(add_salt, batch_format="pyarrow")
+        phase1 = salted.groupby(["key", "bucket_ts", "salt"]).aggregate(
+            *_merge_aggs()
+        )
+        merged = (
+            phase1.drop_columns(["salt"])
+            .groupby(["key", "bucket_ts"])
+            .aggregate(*_merge_aggs())
+        )
+    else:
+        merged = partials.groupby(["key", "bucket_ts"]).aggregate(*_merge_aggs())
     if keep_partials:
         return merged
     return merged.map_batches(

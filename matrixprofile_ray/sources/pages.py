@@ -166,6 +166,12 @@ def pages_dataset(n_rows: int, seed: int = 42,
     """Lazy Ray Dataset of the synthetic corpus (parallel, deterministic)."""
     import ray.data as rd
 
+    from matrixprofile_ray.util import ensure_hash_shuffle
+
+    # Ray snapshots the DataContext when the SOURCE dataset is created —
+    # shuffle settings applied later (by downstream builders) do not reach
+    # this plan, so the context must be right before rd.range
+    ensure_hash_shuffle()
     ds = rd.range(n_rows, override_num_blocks=override_num_blocks)
 
     def _batch(batch: dict) -> pa.Table:

@@ -44,8 +44,7 @@ def ensure_hash_shuffle() -> None:
             # on <8 CPUs the aggregator actors contend with compute pools
             return
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        ctx.min_hash_shuffle_aggregator_wait_time_in_s = 10
-        ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
+        ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
         ctx.default_hash_shuffle_parallelism = max(16, cpus * 2)
         # aggregator actors must not reserve whole CPUs away from the
         # profile/discovery pools
