@@ -125,15 +125,25 @@ def q_gapfill_1h(sf_dir: str):
 
 # ---------------------------------------------------------------- profiles
 
-def _series_1h(sf_dir: str, value_col: str = "count"):
-    from matrixprofile_ray.pipelines.timeseries import (
-        rollup_events,
-        series_from_buckets,
-    )
+_SERIES_CACHE: dict = {}
 
-    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
-    buckets = rollup_events(ds, H1)
-    return series_from_buckets(buckets, H1, value_col=value_col)
+
+def _series_1h(sf_dir: str, value_col: str = "count"):
+    """Gap-filled 1h series per key; materialized once per (sf_dir, col) —
+    a dozen queries share this input, no need to re-run the rollup."""
+    key = (sf_dir, value_col)
+    if key not in _SERIES_CACHE:
+        from matrixprofile_ray.pipelines.timeseries import (
+            rollup_events,
+            series_from_buckets,
+        )
+
+        ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+        buckets = rollup_events(ds, H1)
+        _SERIES_CACHE[key] = series_from_buckets(
+            buckets, H1, value_col=value_col
+        ).materialize()
+    return _SERIES_CACHE[key]
 
 
 def _profile(sf_dir: str, algorithm: str, window: int = 24) -> pd.DataFrame:

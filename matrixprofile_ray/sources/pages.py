@@ -180,12 +180,13 @@ def pages_dataset(n_rows: int, seed: int = 42,
     return ds.map_batches(_batch, batch_format="numpy", batch_size=8192)
 
 
-def pages_parquet(path: str, n_rows: int, seed: int = 42) -> str:
+def pages_parquet(path: str, n_rows: int, seed: int = 42,
+                  n_domains: int = N_DOMAINS) -> str:
     """Materialize the corpus to partitioned parquet (cached bench input)."""
     import os
 
     if not os.path.exists(os.path.join(path, "_DONE")):
-        pages_dataset(n_rows, seed=seed).write_parquet(path)
+        pages_dataset(n_rows, seed=seed, n_domains=n_domains).write_parquet(path)
         with open(os.path.join(path, "_DONE"), "w") as fh:
             fh.write("ok")
     return path

@@ -211,3 +211,26 @@ class TestFlagshipSmoke:
         discoveries = res["discoveries"].to_pandas()
         assert set(discoveries["kind"]).issubset({"motif", "discord", "regime"})
         assert (discoveries["score"] >= 0).all()
+
+
+class TestParquetCorpusPath:
+    def test_write_read_column_pruned(self, ray_session, tmp_path):
+        """The 100TB input path: corpus parquet → pruned read → rollup."""
+        import ray.data as rd
+
+        from matrixprofile_ray.sources.pages import pages_parquet
+        from matrixprofile_ray.stages.rollup import rollup_tier
+
+        corpus = str(tmp_path / "corpus")
+        pages_parquet(corpus, 2000)
+        pruned = rd.read_parquet(
+            corpus, columns=["url", "warc_ts", "html", "text"]
+        )
+        assert set(pruned.schema().names) == {"url", "warc_ts", "html", "text"}
+        got = rollup_tier(pruned, "1d").to_pandas()
+        # must equal the in-flight generated rollup
+        want = rollup_tier(pages_dataset(2000), "1d").to_pandas()
+        got = got.sort_values(["domain", "bucket_ts"]).reset_index(drop=True)
+        want = want.sort_values(["domain", "bucket_ts"]).reset_index(drop=True)
+        np.testing.assert_array_equal(got["count"], want["count"])
+        np.testing.assert_array_equal(got["bytes"], want["bytes"])
