@@ -84,6 +84,77 @@ def _rollup_sql(bucket_us: int) -> str:
     """
 
 
+def q_rollup_user_1d(sf_dir: str):
+    """Rollup keyed by an int column (user_id) — generic key typing."""
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    df = rollup_events(ds, D1, key="user_id").to_pandas()
+    df["user_id"] = df["user_id"].astype("int64")
+    return _round_floats(df, ["sum_value", "min_value", "max_value", "mean_value"])
+
+
+def q_rollup_lineitem_1d(sf_dir: str):
+    """Same rollup operator over the 100x bigger lineitem table."""
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_shipdate", "l_quantity"],
+    )
+    df = rollup_events(
+        ds, D1, key="l_returnflag", ts_col="l_shipdate",
+        value_col="l_quantity",
+    ).to_pandas()
+    return _round_floats(df, ["sum_value", "min_value", "max_value", "mean_value"])
+
+
+def q_events_topk(sf_dir: str):
+    """Global top-20 events by value: distributed sort + limit."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    top = ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
+    df = top.to_pandas()
+    df["event_id"] = df["event_id"].astype("int64")
+    return _round_floats(df, ["value"])
+
+
+def q_docs_per_lang(sf_dir: str):
+    """Distinct-text counts per language: two-level aggregation."""
+    from matrixprofile_ray.stages.dedup import exact_dedup
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def hash_with_lang(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        texts = batch["text"].to_pylist()
+        h = np.array(
+            [zlib.crc32(t.encode()) + (len(t) << 32) for t in texts],
+            dtype=np.int64,
+        )
+        return pa.table({
+            "lang": batch["lang"],
+            "content_hash": pa.array(h, pa.int64()),
+        })
+
+    hashed = ds.map_batches(hash_with_lang, batch_format="pyarrow")
+
+    def distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": [group["lang"].iloc[0]],
+            "n_docs": [len(group)],
+            "n_distinct": [group["content_hash"].nunique()],
+        })
+
+    df = hashed.groupby("lang").map_groups(
+        distinct, batch_format="pandas"
+    ).to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["n_distinct"] = df["n_distinct"].astype("int64")
+    return df
+
+
 # ---------------------------------------------------------------- stats
 
 def q_stats_events(sf_dir: str):
@@ -697,6 +768,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1h": q_rollup_1h,
         "rollup_1d": q_rollup_1d,
         "rollup_7d_cascade": q_rollup_7d_cascade,
+        "rollup_user_1d": q_rollup_user_1d,
+        "rollup_lineitem_1d": q_rollup_lineitem_1d,
+        "events_topk": q_events_topk,
+        "docs_per_lang": q_docs_per_lang,
         "stats_events": q_stats_events,
         "gapfill_1h": q_gapfill_1h,
         "profile_mpx_1h": q_profile_mpx_1h,
@@ -736,6 +811,35 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h": _rollup_sql(H1),
         "rollup_1d": _rollup_sql(D1),
         "rollup_7d_cascade": _rollup_sql(D7),
+        "rollup_user_1d": f"""
+            SELECT user_id,
+                   (epoch_us(ts) // {D1}) * {D1} AS bucket_ts,
+                   count(*) AS count,
+                   ROUND(sum(value), 6) AS sum_value,
+                   ROUND(min(value), 6) AS min_value,
+                   ROUND(max(value), 6) AS max_value,
+                   ROUND(avg(value), 6) AS mean_value
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_lineitem_1d": f"""
+            SELECT l_returnflag,
+                   (epoch_us(l_shipdate) // {D1}) * {D1} AS bucket_ts,
+                   count(*) AS count,
+                   ROUND(sum(l_quantity), 6) AS sum_value,
+                   ROUND(min(l_quantity), 6) AS min_value,
+                   ROUND(max(l_quantity), 6) AS max_value,
+                   ROUND(avg(l_quantity), 6) AS mean_value
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "events_topk": """
+            SELECT event_id, event_type, ROUND(value, 6) AS value
+            FROM events ORDER BY value DESC, event_id ASC LIMIT 20
+        """,
+        "docs_per_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT text) AS n_distinct
+            FROM documents GROUP BY lang
+        """,
         "stats_events": """
             SELECT event_type,
                    count(*) AS n,

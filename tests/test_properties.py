@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis): kernel invariants over random series.
+
+The reference suite has no randomized testing (SURVEY §5); these harden the
+engine's numerical core against inputs the hand-picked fixtures miss.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+import matrixprofile_ray.core as core
+
+# magnitudes capped at 1e3: the streaming covariance recurrence (like the
+# reference's Cython kernel — its MATLAB goldens are checked at decimal=4)
+# loses absolute precision proportionally to the series' dynamic range
+series_strategy = st.lists(
+    st.floats(min_value=-1e3, max_value=1e3, allow_nan=False,
+              allow_infinity=False),
+    min_size=24,
+    max_size=200,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=series_strategy, w=st.integers(4, 10))
+def test_mpx_profile_invariants(data, w):
+    ts = np.asarray(data, dtype="d")
+    if len(ts) < 2 * w:
+        return
+    mp, pi = core.mpx(ts, w)
+    plen = len(ts) - w + 1
+    # length invariant (reference core.py:121-138)
+    assert len(mp) == plen and len(pi) == plen
+    # distances are non-negative and bounded by 2*sqrt(w) (z-norm euclid)
+    finite = np.isfinite(mp)
+    assert np.all(mp[finite] >= -1e-9)
+    assert np.all(mp[finite] <= 2 * np.sqrt(w) + 1e-6)
+    # indices in range and outside the trivial-match zone
+    minlag = int(np.ceil(w / 4.0))
+    valid = pi >= 0
+    assert np.all(pi[valid] < plen)
+    positions = np.arange(plen)[valid]
+    assert np.all(np.abs(pi[valid] - positions) > minlag)
+
+
+@settings(max_examples=20, deadline=None)
+@given(data=series_strategy, w=st.integers(4, 8))
+def test_mpx_symmetric_distance(data, w):
+    """mp[i] = d(i, pi[i]) must equal the direct z-norm distance."""
+    ts = np.asarray(data, dtype="d")
+    if len(ts) < 2 * w:
+        return
+    mp, pi = core.mpx(ts, w)
+    for i in (0, len(mp) // 2, len(mp) - 1):
+        j = pi[i]
+        if j < 0 or not np.isfinite(mp[i]):
+            continue
+        a, b = ts[i : i + w], ts[j : j + w]
+        sa, sb = a.std(), b.std()
+        # z-norm distance is undefined/epsilon-dominated on near-constant
+        # windows (the kernel treats sig≈0 as constant; reference does too)
+        scale_a = max(1.0, np.abs(a).max())
+        scale_b = max(1.0, np.abs(b).max())
+        if sa < 1e-7 * scale_a or sb < 1e-7 * scale_b:
+            continue
+        az = (a - a.mean()) / sa
+        bz = (b - b.mean()) / sb
+        d = np.sqrt(max(0.0, ((az - bz) ** 2).sum()))
+        assert abs(mp[i] - d) < 1e-4
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(
+        st.one_of(
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+            st.just(float("nan")),
+        ),
+        min_size=8,
+        max_size=120,
+    ),
+    w=st.integers(4, 8),
+)
+def test_impute_fills_everything_finite_present_unchanged(data, w):
+    x = np.asarray(data, dtype="d")
+    if np.all(~np.isfinite(x)):
+        return
+    out = core.impute_missing(x, w)
+    finite_in = np.isfinite(x)
+    np.testing.assert_array_equal(out[finite_in], x[finite_in])
+    # every value reachable by the forward sweep is finite
+    assert np.isfinite(out).sum() >= finite_in.sum()
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False), min_size=2, max_size=400))
+def test_gorilla_roundtrip_random(data):
+    values = np.asarray(data, dtype="d")
+    out = core.gorilla_decode_floats(core.gorilla_encode_floats(values))
+    np.testing.assert_array_equal(out, values)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    deltas=st.lists(st.integers(0, 10**9), min_size=1, max_size=300),
+)
+def test_timestamp_roundtrip_random(deltas):
+    ts = np.cumsum(np.asarray(deltas, dtype=np.int64))
+    out = core.timestamps_decode(core.timestamps_encode(ts))
+    np.testing.assert_array_equal(out, ts)
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=series_strategy)
+def test_stampi_always_matches_batch(data):
+    ts = np.asarray(data, dtype="d")
+    w = 8
+    if len(ts) < 3 * w or np.std(ts) < 1e-9:
+        return
+    # skip series containing near-constant windows: their z-norm distances
+    # are epsilon-policy-dependent and differ legitimately between the
+    # MASS (fft) and STOMP (recurrence) formulations. muinvn's sig is the
+    # INVERSE norm: 0 marks constant, large values mark near-constant.
+    mu, sig = core.muinvn(ts, w)
+    scale = max(1.0, float(np.abs(ts).max()))
+    window_std = np.where(sig > 0, 1.0 / (np.maximum(sig, 1e-300) * np.sqrt(w)), 0.0)
+    if np.any(window_std < 1e-6 * scale):
+        return
+    split = max(2 * w, int(len(ts) * 0.7))
+    state = core.stampi_init(ts[:split], w)
+    for x in ts[split:]:
+        state = core.stampi_append(state, x)
+    full = core.stomp(ts, w)
+    scale = max(float(np.max(full["mp"][np.isfinite(full["mp"])], initial=1.0)), 1e-9)
+    diff = np.abs(state["mp"] - full["mp"])
+    diff = diff[np.isfinite(diff)]
+    assert np.all(diff / scale < 1e-3)
