@@ -98,6 +98,8 @@ def bench_queries() -> dict:
     names = [
         "rollup_1h",
         "rollup_7d_cascade",
+        "rollup_lineitem_1d",
+        "events_topk",
         "stats_events",
         "gapfill_1h",
         "profile_mpx_1h",
