@@ -50,10 +50,17 @@ def distance_profile(
     query_mu: float,
     query_sig: float,
 ) -> np.ndarray:
-    """z-normalized Euclidean distance profile from a sliding dot product."""
+    """z-normalized Euclidean distance profile from a sliding dot product.
+
+    Correlations that numerically exceed 1.0 (identical windows after a large
+    dynamic-range excursion) yield a tiny negative argument; clamp to 0 so the
+    distance is 0 rather than NaN (a NaN silently loses the true nearest
+    neighbor in ``dist < mp`` merges). NaN from constant windows (sig == 0,
+    inf - inf) is preserved: np.maximum propagates it.
+    """
     with np.errstate(divide="ignore", invalid="ignore"):
         dist = 2 * (ws - (prod - ws * data_mu * query_mu) / (data_sig * query_sig))
-        return np.sqrt(np.real(dist))
+        return np.sqrt(np.maximum(np.real(dist), 0.0))
 
 
 def apply_exclusion_zone(

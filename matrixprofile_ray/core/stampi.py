@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from matrixprofile_ray.core import mathutil
-from matrixprofile_ray.core.mass2 import mass2
+from matrixprofile_ray.core.moving import moving_avg_std
 from matrixprofile_ray.core.stomp import stomp
 
 __all__ = ["stampi_init", "stampi_append"]
@@ -59,7 +59,18 @@ def stampi_append(state: dict, value: float) -> dict:
 
     new_idx = n - w
     query = ts[new_idx:]
-    dist = np.real(mass2(ts, query))
+    # Use the SAME formulation batch STOMP uses (moving_avg_std + the
+    # dot-product distance_profile) — not MASS — so the constant-window
+    # epsilon policy matches batch recomputation by construction (a
+    # hypothesis-found round-1 bug: mass2's sigma-threshold policy and
+    # STOMP's sig==0 policy legitimately disagree on near-constant windows).
+    data_mu, data_sig = moving_avg_std(ts, w)
+    q_mu, q_sig = moving_avg_std(query, w)
+    prod = mathutil.fft_convolve(ts, query)
+    dist = mathutil.distance_profile(prod, w, data_mu, data_sig, q_mu[0], q_sig[0])
+    # constant windows (sig == 0) produce NaN, same as batch STOMP, where
+    # they never beat any finite entry; neutralize them for the merges below
+    dist[~np.isfinite(dist)] = np.inf
 
     # existing entries may now prefer the new subsequence
     head = dist[:new_idx]

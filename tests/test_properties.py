@@ -60,10 +60,12 @@ def test_mpx_symmetric_distance(data, w):
         a, b = ts[i : i + w], ts[j : j + w]
         sa, sb = a.std(), b.std()
         # z-norm distance is undefined/epsilon-dominated on near-constant
-        # windows (the kernel treats sig≈0 as constant; reference does too)
-        scale_a = max(1.0, np.abs(a).max())
-        scale_b = max(1.0, np.abs(b).max())
-        if sa < 1e-7 * scale_a or sb < 1e-7 * scale_b:
+        # windows (the kernel treats sig≈0 as constant; reference does too).
+        # The guard must use the GLOBAL series magnitude: the diagonal
+        # covariance recurrence's absolute error scales with the whole
+        # series' dynamic range, not just the window's (advisor round 1).
+        gscale = max(1.0, np.abs(ts).max())
+        if sa < 1e-7 * gscale or sb < 1e-7 * gscale:
             continue
         az = (a - a.mean()) / sa
         bz = (b - b.mean()) / sb
@@ -111,6 +113,42 @@ def test_timestamp_roundtrip_random(deltas):
     ts = np.cumsum(np.asarray(deltas, dtype=np.int64))
     out = core.timestamps_decode(core.timestamps_encode(ts))
     np.testing.assert_array_equal(out, ts)
+
+
+# --- frozen hypothesis falsifying examples (round-1 regressions) ---------
+
+def test_regression_stomp_identical_windows_after_spike():
+    """Round-1 bug: correlation numerically >1 gave sqrt(negative)=NaN in
+    distance_profile, silently dropping the true nearest neighbor — batch
+    STOMP reported 4.276 where two windows were z-norm IDENTICAL (dist 0)."""
+    ts = np.array([0.0] * 7 + [19.0] + [0.0] * 7 + [1.0] + [0.0] * 7 + [1.0])
+    w = 8
+    full = core.stomp(ts, w)
+    # windows 0 ([0]*7+[19]), 8 ([0]*7+[1]) and 16 ([0]*7+[1]) are z-norm
+    # identical, so every one of them has an exact match at distance 0
+    assert full["mp"][16] < 1e-6
+    assert full["mp"][0] < 1e-6
+    state = core.stampi_init(ts[:16], w)
+    for x in ts[16:]:
+        state = core.stampi_append(state, x)
+    np.testing.assert_allclose(state["mp"], full["mp"], atol=1e-6)
+
+
+def test_regression_mpx_near_constant_window_global_range():
+    """Round-1 hypothesis example: window std 4e-6 in a series with spikes of
+    144 — the kernel's absolute error scales with the global range, so the
+    profile value must only be accurate relative to the global magnitude."""
+    ts = np.array(
+        [0.0] * 17 + [144.0, 0.0, -33.0, 0.0, -1e-05, 0.0, 0.0], dtype="d"
+    )
+    w = 4
+    mp, pi = core.mpx(ts, w)
+    plen = len(ts) - w + 1
+    assert len(mp) == plen
+    finite = np.isfinite(mp)
+    # absolute error bounded relative to global magnitude, and valid bounds
+    assert np.all(mp[finite] >= -1e-9)
+    assert np.all(mp[finite] <= 2 * np.sqrt(w) + 1e-6)
 
 
 @settings(max_examples=10, deadline=None)
