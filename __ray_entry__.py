@@ -126,16 +126,13 @@ def q_docs_per_lang(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def hash_with_lang(batch: pa.Table) -> pa.Table:
-        import zlib
+        from matrixprofile_ray.stages.dedup import content_hash_128
 
-        texts = batch["text"].to_pylist()
-        h = np.array(
-            [zlib.crc32(t.encode()) + (len(t) << 32) for t in texts],
-            dtype=np.int64,
-        )
+        hi, lo = content_hash_128(batch["text"].to_pylist())
         return pa.table({
             "lang": batch["lang"],
-            "content_hash": pa.array(h, pa.int64()),
+            "hash_hi": pa.array(hi, pa.int64()),
+            "hash_lo": pa.array(lo, pa.int64()),
         })
 
     hashed = ds.map_batches(hash_with_lang, batch_format="pyarrow")
@@ -144,7 +141,8 @@ def q_docs_per_lang(sf_dir: str):
         return pd.DataFrame({
             "lang": [group["lang"].iloc[0]],
             "n_docs": [len(group)],
-            "n_distinct": [group["content_hash"].nunique()],
+            "n_distinct": [group[["hash_hi", "hash_lo"]]
+                           .drop_duplicates().shape[0]],
         })
 
     df = hashed.groupby("lang").map_groups(
@@ -643,12 +641,7 @@ def q_ngram_jaccard(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     head = ds.take(25)
-    other = {}
-    for r in head:
-        toks = r["text"].split()
-        other[r["doc_id"]] = {
-            tuple(toks[i : i + 3]) for i in range(len(toks) - 2)
-        }
+    other = {r["doc_id"]: r["text"] for r in head}
     ref = ray.put(other)
 
     def run(batch):

@@ -2,15 +2,20 @@
 
 Five dedup families, each expressed Ray-Data-first:
 
-- **exact**: hash-partition on the full text (one groupby), keep the
-  smallest doc_id per group. At 100 TB the groupby key is a 64-bit content
-  hash, not the text itself, so only 16 bytes/row shuffle.
-- **MinHash + LSH**: per-batch shingle→minhash signatures (vectorized),
-  band hashes as columns, then ONE groupby per band on the band hash —
-  candidate pairs only ever meet inside a bucket (no all-pairs).
-- **SimHash**: 64-bit simhash per doc; near-dups = equal hash (or equal
-  in any rotated band for Hamming≤k variants).
-- **n-gram Jaccard**: exact pairwise verification of LSH candidates.
+- **exact**: hash-partition on a 128-bit content hash (one groupby), keep
+  the smallest doc_id per group. At 100 TB only (hash_hi, hash_lo, id)
+  triples shuffle — 24 bytes/row — and 128 bits make birthday collisions
+  negligible at 10^12 docs (round 1 used crc32+len: ~32-bit entropy per
+  length class, certain collisions at corpus scale).
+- **MinHash + LSH**: batch-vectorized shingle→minhash signatures, then a
+  SLIM shuffle: only (band, bucket, doc_id) rows enter the LSH groupby —
+  the 64-int signature is NOT duplicated into every band row (round 1
+  shipped it 16×). Candidate pairs are verified in a second pass that
+  hash-joins the (much smaller) candidate set back to the signature table.
+- **SimHash**: 64-bit simhash per doc; exact-equal groups via one groupby,
+  plus a Hamming≤k near-dup variant via (k+1)-band pigeonhole bucketing.
+- **n-gram Jaccard**: exact pairwise verification against a broadcast
+  reference set (small-side lookup, no shuffle join).
 - **embedding cosine**: see matrixprofile_ray.stages.ann (near_duplicates).
 
 All hashing is seed-fixed and batch-order independent, so results are
@@ -19,36 +24,116 @@ identical across block splits and cluster sizes.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = [
+    "content_hash_128",
     "exact_dedup",
     "minhash_signatures",
     "minhash_dedup_pairs",
     "simhash",
     "simhash_dedup",
+    "simhash_neardup",
     "ngram_jaccard",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_MASK32 = np.uint64(0xFFFFFFFF)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+# --------------------------------------------------------------- hashing
+
+def content_hash_128(texts) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit blake2b content hash → (hi, lo) int64 arrays.
+
+    blake2b is C-speed per doc; 128 bits keep the birthday bound far above
+    10^12 documents (2^64 expected docs to first collision).
+    """
+    hi = np.empty(len(texts), dtype=np.uint64)
+    lo = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        d = hashlib.blake2b(t.encode(), digest_size=16).digest()
+        hi[i] = int.from_bytes(d[:8], "little")
+        lo[i] = int.from_bytes(d[8:], "little")
+    return hi.view(np.int64), lo.view(np.int64)
+
+
+def _mersenne_mod(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61 - 1) for uint64 x (one fold + conditional subtract)."""
+    r = (x & _MERSENNE) + (x >> np.uint64(61))
+    return np.where(r >= _MERSENNE, r - _MERSENNE, r)
+
+
+def _mersenne_affine(a: np.uint64, b: np.uint64, x: np.ndarray) -> np.ndarray:
+    """EXACT (a*x + b) mod p, p = 2^61-1, vectorized via 32-bit limbs.
+
+    Round 1 computed ``(a*x + b) % p`` directly in uint64, which wraps the
+    product mod 2^64 BEFORE the mod — not a universal hash. Here the
+    128-bit product is assembled exactly: with x,a < p,
+    a*x = hh·2^64 + (lh+hl)·2^32 + ll, and 2^61 ≡ 1 (mod p) gives
+    2^64 ≡ 8, 2^32·mid ≡ mid_hi + mid_lo·2^32 after splitting mid at bit
+    29. Every partial sum stays < 2^63, so no uint64 overflow anywhere.
+    """
+    x = _mersenne_mod(x)
+    a_lo, a_hi = a & _MASK32, a >> np.uint64(32)   # a_hi < 2^29
+    x_lo, x_hi = x & _MASK32, x >> np.uint64(32)   # x_hi < 2^29
+    ll = a_lo * x_lo                               # < 2^64, exact
+    mid = a_lo * x_hi + a_hi * x_lo                # < 2^62, exact
+    hh = a_hi * x_hi                               # < 2^58, exact
+    mid_lo = mid & np.uint64((1 << 29) - 1)        # mid = mid_hi·2^29 + mid_lo
+    mid_hi = mid >> np.uint64(29)                  # < 2^33
+    ll_red = (ll & _MERSENNE) + (ll >> np.uint64(61))
+    r = hh * np.uint64(8) + mid_hi + (mid_lo << np.uint64(32)) + ll_red
+    r = _mersenne_mod(_mersenne_mod(r) + b)
+    return r
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """64-bit polynomial hashes of all k-byte shingles (vectorized)."""
-    b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
-    if len(b) < k:
-        b = np.pad(b, (0, k - len(b)), constant_values=32)
+    """64-bit polynomial hashes of all k-byte shingles of one doc (unique)."""
+    flat, starts = _batch_shingle_hashes([text], k)
+    return np.unique(flat)
+
+
+def _batch_shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Flat shingle hashes for a WHOLE batch + per-doc start offsets.
+
+    One sliding-window pass over the concatenated byte buffer (docs shorter
+    than k are space-padded); windows crossing doc boundaries are dropped by
+    index selection. Returns (flat_hashes, doc_starts) where
+    ``doc_starts[i]`` indexes doc i's first shingle — ready for
+    ``np.minimum.reduceat`` / ``np.add.reduceat`` segmented reductions.
+    """
+    encoded = []
+    for t in texts:
+        e = t.encode()
+        if len(e) < k:
+            e = e + b" " * (k - len(e))
+        encoded.append(e)
+    lens = np.array([len(e) for e in encoded], dtype=np.int64)
+    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.uint64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+
     base = np.uint64(1099511628211)
     powers = np.empty(k, dtype=np.uint64)
     powers[-1] = 1
     with np.errstate(over="ignore"):
         for i in range(k - 2, -1, -1):
             powers[i] = powers[i + 1] * base
-        wins = np.lib.stride_tricks.sliding_window_view(b, k)
-        return np.unique((wins * powers[None, :]).sum(axis=1, dtype=np.uint64))
+        wins = np.lib.stride_tricks.sliding_window_view(buf, k)
+        hashes = (wins * powers[None, :]).sum(axis=1, dtype=np.uint64)
+
+    n_sh = lens - k + 1                       # shingles per doc (≥ 1)
+    doc_starts = np.concatenate([[0], np.cumsum(n_sh)])[:-1]
+    # valid window index ranges: [offs[i], offs[i] + n_sh[i]) per doc
+    idx = np.repeat(offs[:-1] - doc_starts, n_sh) + np.arange(n_sh.sum())
+    return hashes[idx], doc_starts
 
 
 # universal-hash parameters for the minhash permutations, seed-fixed
@@ -58,6 +143,8 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
     b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
     return a, b
 
+
+# --------------------------------------------------------------- minhash
 
 def minhash_signatures(
     batch: pa.Table,
@@ -69,17 +156,22 @@ def minhash_signatures(
 
     Output: doc_id, sig (list<uint64 as int64>), band_0..band_{bands-1}
     (int64 bucket keys). Rows with equal band_i values are LSH candidates.
+
+    Vectorized across the WHOLE batch: one flat shingle pass, then one
+    segmented-min per permutation (64 numpy reductions total — round 1
+    looped per document building a (perm × shingle) matrix each time).
+    min over a multiset equals min over its set, so shingle de-duplication
+    is unnecessary here.
     """
     a, b = _minhash_params(num_perm)
     rows_per_band = num_perm // bands
     texts = batch["text"].to_pylist()
-    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            sh = _shingle_hashes(t, shingle_k)
-            # (a*x+b) mod p, min over shingles, vectorized (perm × shingle)
-            vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
-            sigs[i] = vals.min(axis=1)
+    n = len(texts)
+    flat, doc_starts = _batch_shingle_hashes(texts, shingle_k)
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    for p in range(num_perm):
+        vals = _mersenne_affine(a[p], b[p], flat)
+        sigs[:, p] = np.minimum.reduceat(vals, doc_starts)
     cols = {"doc_id": batch["doc_id"],
             "sig": pa.array(sigs.view(np.int64).tolist(),
                             pa.list_(pa.int64()))}
@@ -87,9 +179,9 @@ def minhash_signatures(
         for bi in range(bands):
             seg = sigs[:, bi * rows_per_band : (bi + 1) * rows_per_band]
             # FNV-style mix of the band rows into one bucket key
-            h = np.full(len(texts), 0xCBF29CE484222325, dtype=np.uint64)
+            h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
             for r in range(rows_per_band):
-                h = (h ^ seg[:, r]) * np.uint64(0x100000001B3)
+                h = (h ^ seg[:, r]) * _FNV_PRIME
             cols[f"band_{bi}"] = pa.array(h.view(np.int64), pa.int64())
     return pa.table(cols)
 
@@ -100,81 +192,161 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+    num_partitions: int | None = None,
 ):
-    """Dataset(doc_id, text) → Dataset of near-duplicate pairs.
+    """Dataset(doc_id, text) → Dataset of near-duplicate pairs (a, b, sim).
 
-    Topology: map_batches(signatures) → for each band, groupby(band hash)
-    → within-group pairing → union → exact Jaccard estimate from
-    signatures, filter ≥ threshold, dedup pairs. The only shuffles are the
-    per-band groupbys on 8-byte keys.
+    Topology (100-TB shape):
+    1. ``minhash_signatures`` per batch; the signature table (doc_id, sig)
+       is materialized ONCE (object-store checkpoint — it is read again in
+       step 4).
+    2. SLIM band explosion: only (band, bucket, doc_id) rows — 24 B/row —
+       enter the single composite-key groupby (round 1 duplicated the full
+       64-int signature into all 16 band rows: 16× shuffle volume).
+    3. Candidate pairs (a, b) come out of the buckets with no payload and
+       are de-duplicated by a tiny groupby (a pair surfacing from several
+       bands keeps one copy). ``max_bucket_size`` caps degenerate buckets
+       with star topology (each member pairs only with the cap lowest ids).
+    4. Verification: two hash joins attach sig_a / sig_b to the candidate
+       set — shuffles only candidates + the signature table once each,
+       then the signature-equality Jaccard estimate filters ≥ threshold.
     """
-    def long_signatures(batch: pa.Table) -> pa.Table:
-        """One row per (doc, band): the 16-per-band groupbys become ONE
-        groupby on the composite (band, bucket) key."""
-        sig_tbl = minhash_signatures(batch, num_perm, shingle_k, bands)
-        n = sig_tbl.num_rows
+    def signatures(batch: pa.Table) -> pa.Table:
+        t = minhash_signatures(batch, num_perm, shingle_k, bands)
+        # pack the signature into one binary cell (num_perm × 8 B little-
+        # endian): hash joins (acero) reject list-typed payload columns,
+        # and a binary scalar also shuffles tighter than a list
+        sig_np = np.array(t["sig"].to_pylist(), dtype=np.int64)
+        packed = pa.array(
+            [row.tobytes() for row in sig_np], pa.binary()
+        )
+        keep = [f"band_{b}" for b in range(bands)]
+        return pa.table({"doc_id": t["doc_id"], "sig": packed,
+                         **{c: t[c] for c in keep}})
+
+    sigs = ds.map_batches(signatures, batch_format="pyarrow").materialize()
+
+    def explode_slim(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         parts = []
         for bi in range(bands):
             parts.append(pa.table({
                 "band": pa.array(np.full(n, bi, dtype=np.int64)),
-                "bucket": sig_tbl[f"band_{bi}"],
-                "doc_id": sig_tbl["doc_id"],
-                "sig": sig_tbl["sig"],
+                "bucket": batch[f"band_{bi}"],
+                "doc_id": batch["doc_id"],
             }))
         return pa.concat_tables(parts)
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
         if len(group) < 2:
-            return pd.DataFrame({
-                "a": pd.Series(dtype="int64"),
-                "b": pd.Series(dtype="int64"),
-                "sim": pd.Series(dtype="float64"),
-            })
-        ids = group["doc_id"].to_numpy()
-        sig = np.vstack(group["sig"].to_numpy())
-        order = np.argsort(ids)
-        ids, sig = ids[order], sig[order]
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(ids)):
-            eq = (sig[i + 1 :] == sig[i]).mean(axis=1)
-            keep = eq >= threshold
-            for j, s in zip(np.flatnonzero(keep), eq[keep]):
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + j]))
-                out_s.append(float(s))
-        return pd.DataFrame({"a": out_a, "b": out_b, "sim": out_s})
+            return empty
+        ids = np.sort(group["doc_id"].to_numpy())
+        n = len(ids)
+        n_left = n if max_bucket_size is None or n <= max_bucket_size \
+            else max_bucket_size
+        iu, ju = np.triu_indices(n, k=1)
+        keep = iu < n_left
+        return pd.DataFrame({"a": ids[iu[keep]].astype(np.int64),
+                             "b": ids[ju[keep]].astype(np.int64)})
 
-    allpairs = (
-        ds.map_batches(long_signatures, batch_format="pyarrow")
+    def first_copy(group: pd.DataFrame) -> pd.DataFrame:
+        return group.iloc[:1][["a", "b"]]
+
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    # materialize the (tiny) candidate set: chaining two hash-shuffle
+    # groupbys into two hash joins in ONE lazy DAG makes the fixed actor
+    # pools contend for CPU (3× wall time measured at 8 cpus); the barrier
+    # costs nothing because candidates ≪ corpus
+    candidates = (
+        sigs.map_batches(explode_slim, batch_format="pyarrow")
         .groupby(["band", "bucket"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_groups(candidate_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(first_copy, batch_format="pandas")
+    ).materialize()
+
+    sig_tbl = sigs.select_columns(["doc_id", "sig"])
+    joined = candidates.join(
+        sig_tbl, join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=("doc_id",), right_suffix="_ra",
     )
 
-    def _rename(tbl: pa.Table) -> pa.Table:
-        return tbl.rename_columns(
-            [c if c != "max(sim)" else "sim" for c in tbl.column_names]
-        )
+    def rename_sig_a(tbl: pa.Table) -> pa.Table:
+        names = [("sig_a" if c in ("sig", "sig_ra") else c)
+                 for c in tbl.column_names]
+        t = tbl.rename_columns(names)
+        return t.select([c for c in t.column_names
+                         if c in ("a", "b", "sig_a")])
 
-    # a pair can surface from several bands — keep one copy
-    return (
-        allpairs.groupby(["a", "b"]).max("sim")
-        .map_batches(_rename, batch_format="pyarrow")
+    joined = joined.map_batches(rename_sig_a, batch_format="pyarrow").materialize()
+    joined = joined.join(
+        sig_tbl, join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("doc_id",), right_suffix="_rb",
     )
 
+    def score(tbl: pa.Table) -> pa.Table:
+        names = [("sig_b" if c in ("sig", "sig_rb") else c)
+                 for c in tbl.column_names]
+        tbl = tbl.rename_columns(names)
+        if tbl.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sig_a = np.frombuffer(
+            b"".join(tbl["sig_a"].to_pylist()), dtype=np.int64
+        ).reshape(tbl.num_rows, num_perm)
+        sig_b = np.frombuffer(
+            b"".join(tbl["sig_b"].to_pylist()), dtype=np.int64
+        ).reshape(tbl.num_rows, num_perm)
+        sim = (sig_a == sig_b).mean(axis=1)
+        keep = sim >= threshold
+        return pa.table({
+            "a": pa.array(np.asarray(tbl["a"])[keep], pa.int64()),
+            "b": pa.array(np.asarray(tbl["b"])[keep], pa.int64()),
+            "sim": pa.array(sim[keep], pa.float64()),
+        })
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- simhash
 
 def simhash(batch: pa.Table, shingle_k: int = 5) -> pa.Table:
-    """64-bit SimHash per document: doc_id, simhash (int64)."""
+    """64-bit SimHash per document: doc_id, simhash (int64).
+
+    Batch-vectorized: one flat shingle pass, per-doc unique mask computed
+    by a segmented sort (each UNIQUE shingle votes once, matching the
+    round-1 per-doc ``np.unique`` semantics), then one
+    ``np.add.reduceat`` over the (shingle, 64) bit matrix.
+    """
     texts = batch["text"].to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
+    n = len(texts)
+    flat, doc_starts = _batch_shingle_hashes(texts, shingle_k)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                        np.diff(np.concatenate([doc_starts, [len(flat)]])))
+    # unique-within-doc mask via lexsort on (doc, hash)
+    order = np.lexsort((flat, doc_idx))
+    sf, sd = flat[order], doc_idx[order]
+    first = np.ones(len(sf), dtype=bool)
+    first[1:] = (sf[1:] != sf[:-1]) | (sd[1:] != sd[:-1])
+    uf, ud = sf[first], sd[first]
+    counts = np.bincount(ud, minlength=n)
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+
     bit_idx = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        sh = _shingle_hashes(t, shingle_k)
-        # bit-count matrix: (n_shingles, 64) of 0/1
-        bits = ((sh[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = bits.sum(axis=0) * 2 - len(sh)  # +1 / -1 majority
-        out[i] = np.uint64(0)
-        mask = votes > 0
-        out[i] = np.sum(np.where(mask, np.uint64(1) << bit_idx, np.uint64(0)))
+    bits = ((uf[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+    ones = np.add.reduceat(bits, starts, axis=0) if len(uf) else \
+        np.zeros((n, 64), dtype=np.int64)
+    votes = 2 * ones - counts[:, None]
+    out = np.where(votes > 0, np.uint64(1) << bit_idx[None, :],
+                   np.uint64(0)).sum(axis=1, dtype=np.uint64)
     return pa.table({
         "doc_id": batch["doc_id"],
         "simhash": pa.array(out.view(np.int64), pa.int64()),
@@ -200,24 +372,107 @@ def simhash_dedup(ds, shingle_k: int = 5):
     )
 
 
+def simhash_neardup(ds, shingle_k: int = 5, k: int = 3,
+                    max_bucket_size: int | None = None):
+    """SimHash near-dup pairs within Hamming distance ≤ k.
+
+    Pigeonhole banding: split the 64-bit hash into k+1 contiguous bands —
+    two hashes within Hamming distance k MUST agree exactly on at least one
+    band. One groupby on (band, band_value); exact Hamming verification
+    inside each bucket (vectorized popcount via uint8 bit table). This is
+    the rotated-band construction the round-1 module docstring promised but
+    never shipped (exact-equal simhash misses the near-dups simhash is
+    for).
+    """
+    n_bands = k + 1
+    width = 64 // n_bands
+    shifts = [np.uint64(bi * width) for bi in range(n_bands)]
+    masks = [np.uint64((1 << width) - 1) if bi < n_bands - 1
+             else np.uint64((1 << (64 - bi * width)) - 1)
+             for bi in range(n_bands)]
+    popcnt8 = np.array([bin(i).count("1") for i in range(256)],
+                       dtype=np.uint8)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = simhash(batch, shingle_k)
+        h = np.asarray(t["simhash"], dtype=np.int64).view(np.uint64)
+        n = len(h)
+        parts = []
+        for bi in range(n_bands):
+            band_val = ((h >> shifts[bi]) & masks[bi]).view(np.int64)
+            parts.append(pa.table({
+                "band": pa.array(np.full(n, bi, dtype=np.int64)),
+                "bucket": pa.array(band_val, pa.int64()),
+                "doc_id": t["doc_id"],
+                "simhash": t["simhash"],
+            }))
+        return pa.concat_tables(parts)
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64")})
+        if len(group) < 2:
+            return empty
+        order = np.argsort(group["doc_id"].to_numpy())
+        ids = group["doc_id"].to_numpy()[order]
+        h = group["simhash"].to_numpy()[order].astype(np.int64).view(np.uint64)
+        band = int(group["band"].iloc[0])
+        n = len(ids)
+        n_left = n if max_bucket_size is None or n <= max_bucket_size \
+            else max_bucket_size
+        iu, ju = np.triu_indices(n, k=1)
+        keep = iu < n_left
+        iu, ju = iu[keep], ju[keep]
+        x = (h[iu] ^ h[ju]).view(np.uint64)
+        d = np.zeros(len(x), dtype=np.int64)
+        for s in range(0, 64, 8):
+            d += popcnt8[((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.int64)]
+        ok = d <= k
+        # report a pair only from its FIRST agreeing band so the
+        # downstream pair-dedup groupby stays tiny
+        if ok.any():
+            first_band = np.zeros(ok.sum(), dtype=bool)
+            ha, hb = h[iu[ok]], h[ju[ok]]
+            for bi in range(band):
+                agree = ((ha >> shifts[bi]) & masks[bi]) == \
+                        ((hb >> shifts[bi]) & masks[bi])
+                first_band |= agree
+            ok_idx = np.flatnonzero(ok)[~first_band]
+        else:
+            ok_idx = np.empty(0, dtype=np.int64)
+        if not len(ok_idx):
+            return empty
+        return pd.DataFrame({
+            "a": ids[iu[ok_idx]].astype(np.int64),
+            "b": ids[ju[ok_idx]].astype(np.int64),
+            "hamming": d[ok_idx],
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
+# ----------------------------------------------------------- exact dedup
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: content-hash groupby, keep smallest id per text.
 
-    Returns (kept doc ids + group sizes). The groupby key is the 64-bit
-    FNV hash of the text — at corpus scale only (hash, id) pairs shuffle;
-    hash collisions are broken by carrying the text length as a checksum.
+    Returns (kept doc ids + group sizes). The groupby key is the 128-bit
+    blake2b content hash split into two int64 columns — at corpus scale
+    only (hash_hi, hash_lo, id) shuffles, and the birthday bound sits at
+    ~2^64 docs (round 1's crc32+len key collided at ~10^5 same-length
+    docs).
     """
     def hash_batch(batch: pa.Table) -> pa.Table:
-        import zlib
-
-        texts = batch[text_col].to_pylist()
-        h = np.array(
-            [zlib.crc32(t.encode()) + (len(t) << 32) for t in texts],
-            dtype=np.int64,
-        )
+        hi, lo = content_hash_128(batch[text_col].to_pylist())
         return pa.table({
             id_col: batch[id_col],
-            "content_hash": pa.array(h, pa.int64()),
+            "hash_hi": pa.array(hi, pa.int64()),
+            "hash_lo": pa.array(lo, pa.int64()),
         })
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
@@ -228,29 +483,53 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
             "dup_count": [len(group)],
         })
 
-    return hashed.groupby("content_hash").map_groups(
+    return hashed.groupby(["hash_hi", "hash_lo"]).map_groups(
         keep_first, batch_format="pandas"
     )
 
 
-def ngram_jaccard(batch: pa.Table, other: dict[int, set], n: int = 3) -> pa.Table:
+# --------------------------------------------------------- n-gram Jaccard
+
+def _ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Sorted unique 64-bit hashes of word n-grams (for array set algebra).
+
+    blake2b per gram: deterministic across processes (Python's ``hash()``
+    is salted per interpreter) and collision-free in practice at 64 bits
+    for per-document gram counts.
+    """
+    toks = text.split()
+    if len(toks) < n:
+        return np.empty(0, dtype=np.uint64)
+    h = np.fromiter(
+        (int.from_bytes(
+            hashlib.blake2b(" ".join(toks[i : i + n]).encode(),
+                            digest_size=8).digest(), "little")
+         for i in range(len(toks) - n + 1)),
+        dtype=np.uint64,
+        count=len(toks) - n + 1,
+    )
+    return np.unique(h)
+
+
+def ngram_jaccard(batch: pa.Table, other: dict[int, str], n: int = 3) -> pa.Table:
     """Exact word-n-gram Jaccard of each row against a broadcast doc set.
 
-    ``other`` is {doc_id: set(ngram)} broadcast via ray.put — the
-    small-side-lookup pattern (no shuffle join).
+    ``other`` is {doc_id: text} broadcast via ray.put — the
+    small-side-lookup pattern (no shuffle join). Set algebra runs on
+    sorted uint64 hash arrays (np.intersect1d), not per-row Python tuple
+    sets (round 1 looped ``.as_py()`` tuple sets per row × per ref doc).
     """
-    def grams(text: str) -> set:
-        toks = text.split()
-        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-
+    other_arrays = {oid: _ngram_hashes(t, n) for oid, t in other.items()}
+    texts = batch["text"].to_pylist()
+    ids = batch["doc_id"].to_pylist()
     rows = {"a": [], "b": [], "jaccard": []}
-    for i in range(batch.num_rows):
-        did = batch["doc_id"][i].as_py()
-        g = grams(batch["text"][i].as_py())
-        for oid, og in other.items():
-            if oid >= did or not g or not og:
+    for did, text in zip(ids, texts):
+        g = _ngram_hashes(text, n)
+        for oid, og in other_arrays.items():
+            if oid >= did or not len(g) or not len(og):
                 continue
-            j = len(g & og) / len(g | og)
+            inter = len(np.intersect1d(g, og, assume_unique=True))
+            j = inter / (len(g) + len(og) - inter)
             rows["a"].append(oid)
             rows["b"].append(did)
             rows["jaccard"].append(round(j, 6))

@@ -88,6 +88,53 @@ class TestDedupKernels:
         assert shared_near > shared_far
         assert shared_near >= 1
 
+    def test_content_hash_128_separates_crc32_collisions(self):
+        """'plumless' and 'buckeroo' share crc32 AND length — the round-1
+        crc32+len key merged them. 128-bit blake2b must not."""
+        import zlib
+
+        from matrixprofile_ray.stages.dedup import content_hash_128
+
+        assert zlib.crc32(b"plumless") == zlib.crc32(b"buckeroo")
+        hi, lo = content_hash_128(["plumless", "buckeroo"])
+        assert (hi[0], lo[0]) != (hi[1], lo[1])
+        # determinism
+        hi2, lo2 = content_hash_128(["plumless", "buckeroo"])
+        np.testing.assert_array_equal(hi, hi2)
+        np.testing.assert_array_equal(lo, lo2)
+
+    def test_mersenne_affine_matches_exact_bigint(self):
+        """The vectorized 128-bit Mersenne reduction must equal exact
+        Python big-int arithmetic (round 1 wrapped uint64 BEFORE the mod)."""
+        from matrixprofile_ray.stages.dedup import _mersenne_affine, _MERSENNE
+
+        rng = np.random.default_rng(3)
+        p = int(_MERSENNE)
+        xs = rng.integers(0, 1 << 63, size=200, dtype=np.uint64) * 2 + 1
+        for _ in range(5):
+            a = np.uint64(int(rng.integers(1, p)))
+            b = np.uint64(int(rng.integers(0, p)))
+            got = _mersenne_affine(a, b, xs)
+            want = np.array(
+                [(int(a) * (int(x) % p) + int(b)) % p for x in xs],
+                dtype=np.uint64,
+            )
+            np.testing.assert_array_equal(got, want)
+
+    def test_batch_shingles_match_per_doc(self):
+        from matrixprofile_ray.stages.dedup import (
+            _batch_shingle_hashes,
+            _shingle_hashes,
+        )
+
+        texts = ["abcdefgh", "xy", "the quick brown fox", ""]
+        flat, starts = _batch_shingle_hashes(texts, 5)
+        ends = np.concatenate([starts[1:], [len(flat)]])
+        for t, s, e in zip(texts, starts, ends):
+            np.testing.assert_array_equal(
+                np.unique(flat[s:e]), _shingle_hashes(t, 5)
+            )
+
     def test_simhash_hamming_close_for_near_dups(self):
         base = "the quick brown fox jumps over the lazy dog " * 5
         near = base + "tail"
@@ -192,6 +239,47 @@ class TestRayIntegration:
         # connectivity: every non-representative appears as "b" at least once
         assert set(pairs["b"]) == set(range(1, n))
         assert set(pairs["a"]) == {0, 1, 2, 3}
+
+    def test_minhash_pairs_through_ray(self, ray_session):
+        """Slim-shuffle + join verification topology finds exact dups with
+        sim 1.0 and keeps a<b ordering."""
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.dedup import minhash_dedup_pairs
+
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        docs = [base, base, "entirely different text about ray data " * 10,
+                base + "tiny tail change"]
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": np.arange(len(docs)), "text": docs,
+        }))
+        pairs = minhash_dedup_pairs(ds, threshold=0.5, num_partitions=2)
+        df = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        assert {(0, 1)} <= set(zip(df["a"], df["b"]))
+        exact = df[(df["a"] == 0) & (df["b"] == 1)]
+        assert float(exact["sim"].iloc[0]) == 1.0
+        assert (df["a"] < df["b"]).all()
+        assert 2 not in set(df["a"]) | set(df["b"])
+
+    def test_simhash_neardup_hamming_banding(self, ray_session):
+        """Hamming≤k pairs found via pigeonhole bands; unrelated docs not."""
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.dedup import simhash_neardup
+
+        base = "the quick brown fox jumps over the lazy dog " * 20
+        near = base[:-30] + " slightly changed ending here"
+        far = "unrelated corpus content about databases and compilers " * 20
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": [0, 1, 2], "text": [base, near, far],
+        }))
+        # measured: hamming(base, near) = 12, hamming(base, far) = 23
+        df = simhash_neardup(ds, k=16).to_pandas()
+        got = set(zip(df["a"], df["b"]))
+        assert (0, 1) in got
+        assert (0, 2) not in got and (1, 2) not in got
+        # each pair reported exactly once despite multiple agreeing bands
+        assert len(df) == len(df.drop_duplicates(["a", "b"]))
 
     def test_exact_dedup_through_ray(self, ray_session):
         import ray.data as rd
