@@ -18,6 +18,7 @@ byte-identical outputs to an uninterrupted run.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import zlib
 
@@ -130,6 +131,13 @@ def run_resumable(
     # ---- stage A: one-shuffle series build, partitioned by domain shard
     series_dir = os.path.join(out_dir, "series")
     if "series" not in completed_partitions(out_dir, "series"):
+        # crash safety: a run killed MID-WRITE leaves partial parquet that
+        # write_parquet (SaveMode.APPEND) would duplicate on re-run — any
+        # output dir without a matching lineage record is stale and must go
+        # (lineage publishes atomically AFTER the write, so done dirs are
+        # never removed)
+        for stale in ("series", "gorilla", "profiles", "discoveries"):
+            shutil.rmtree(os.path.join(out_dir, stale), ignore_errors=True)
         t0 = time.time()
         series = series_all_tiers(pages_ds, tiers=tiers)
         sharded = series.map_batches(
@@ -159,6 +167,12 @@ def run_resumable(
             # empty shard (no domain hashed here) — mark done for resume
             writer.write(_rec("discoveries", str(k), 0, 0, 0.0))
             continue
+        # crash safety: wipe partial shard outputs from a killed attempt
+        # before re-running (no lineage record ⇒ the write never finished)
+        for stage in ("gorilla", "profiles", "discoveries"):
+            shutil.rmtree(
+                os.path.join(out_dir, stage, f"shard={k}"), ignore_errors=True
+            )
         t0 = time.time()
         shard_series = rd.read_parquet(shard_dir)
         n_in = shard_series.count()

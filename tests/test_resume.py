@@ -84,6 +84,32 @@ class TestResume:
         for a, b in zip(got["neighbors"], want["neighbors"]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_dirty_crash_mid_write_no_duplication(self, ray_session, tmp_path):
+        """A kill MID-WRITE leaves partial parquet files WITHOUT a lineage
+        record; Ray's write_parquet appends by default, so resume must wipe
+        the stale partials before re-running (advisor round 1: the
+        clean-crash-only test missed row duplication on resume)."""
+        base = str(tmp_path / "full")
+        run_resumable(pages_dataset(N_PAGES), base, tiers=("1d",),
+                      window=8, shards=SHARDS, profile_concurrency=2)
+        want = _discoveries(base)
+
+        crashed = str(tmp_path / "dirty")
+        run_resumable(pages_dataset(N_PAGES), crashed, tiers=("1d",),
+                      window=8, shards=SHARDS, profile_concurrency=2)
+        # simulate mid-write kill of shard 1: lineage record gone, but the
+        # parquet output files SURVIVE (partial write)
+        os.remove(os.path.join(crashed, "_lineage", "discoveries-1.json"))
+
+        written = run_resumable(pages_dataset(N_PAGES), crashed, tiers=("1d",),
+                                window=8, shards=SHARDS, profile_concurrency=2)
+        assert {r["partition_id"] for r in written} == {"1"}
+        got = _discoveries(crashed)
+        # duplicated rows would fail the frame comparison
+        pd.testing.assert_frame_equal(
+            got.drop(columns=["neighbors"]), want.drop(columns=["neighbors"])
+        )
+
     def test_shard_deterministic(self):
         assert shard_of("domain0001.example", 16) == shard_of(
             "domain0001.example", 16
