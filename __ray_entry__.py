@@ -766,6 +766,29 @@ def q_flagship_pages_1d(sf_dir: str):
     return disc.reset_index(drop=True)
 
 
+def q_giant_mpx(sf_dir: str):
+    """Intra-series diagonal fan-out: ONE long series' matrix profile split
+    across Ray tasks by cell-balanced diagonal ranges and strict-> merged
+    (bit-identical to single-task mpx; see stages/giant.py). The series is
+    a deterministic random walk (seeded) — the work is quadratic in its
+    length, which is what the fan-out distributes."""
+    from matrixprofile_ray.stages.giant import mpx_distributed
+
+    rng = np.random.default_rng(42)
+    n = 60_000
+    ts = np.cumsum(rng.normal(size=n))
+    w = 128
+    mp, pi = mpx_distributed(ts, w)
+    return pd.DataFrame({
+        "n": np.array([n], dtype="int64"),
+        "w": np.array([w], dtype="int64"),
+        "mp_len": np.array([len(mp)], dtype="int64"),
+        "mp_min": [round(float(np.min(mp)), 6)],
+        "mp_argmin": np.array([int(np.argmin(mp))], dtype="int64"),
+        "mp_mean": [round(float(np.mean(mp)), 6)],
+    })
+
+
 # ---------------------------------------------------------------- contract
 
 def entry() -> Any:
@@ -826,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "flagship_pages_1d": q_flagship_pages_1d,
+        "giant_mpx": q_giant_mpx,
     }
 
 

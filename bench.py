@@ -112,6 +112,7 @@ def bench_queries() -> dict:
         "minhash_pairs",
         "ann_topk",
         "embedding_neardup",
+        "giant_mpx",
     ]
     qs = entrymod.queries()
     out = {}

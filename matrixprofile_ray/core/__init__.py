@@ -27,7 +27,7 @@ from matrixprofile_ray.core.mathutil import (
     pearson_to_euclidean,
     sliding_dot_product,
 )
-from matrixprofile_ray.core.mpx import mpx, mpx_ab
+from matrixprofile_ray.core.mpx import mpx, mpx_ab, mpx_partial
 from matrixprofile_ray.core.mass2 import mass2
 from matrixprofile_ray.core.stomp import stomp
 from matrixprofile_ray.core.mstomp import mstomp

@@ -29,15 +29,19 @@ __all__ = ["native_mpx_self", "native_mpx_ab", "available"]
 _SRC = r"""
 #include <stdint.h>
 
-/* Self-join: diagonals ascending from first_diag; within a diagonal,
-   offsets ascending; strict > updates reproduce the numpy kernel's
-   (col-before-row, earlier-diagonal-wins) tie-breaking exactly. */
+/* Self-join: diagonals ascending over [first_diag, last_diag); within a
+   diagonal, offsets ascending; strict > updates reproduce the numpy
+   kernel's (col-before-row, earlier-diagonal-wins) tie-breaking exactly.
+   A partial diagonal range yields a partial profile that left-fold
+   merges (strict >, ascending ranges) into the full profile — the
+   distributed fan-out path for one giant series. */
 void mpx_self(const double *ts, const double *mu, const double *sig,
               const double *df, const double *dg,
-              int64_t plen, int64_t w, int64_t first_diag,
+              int64_t plen, int64_t w, int64_t first_diag, int64_t last_diag,
               double *mp, int64_t *mpi)
 {
-    for (int64_t d = first_diag; d < plen; d++) {
+    if (last_diag > plen) last_diag = plen;
+    for (int64_t d = first_diag; d < last_diag; d++) {
         double cov = 0.0;
         for (int64_t k = 0; k < w; k++)
             cov += (ts[d + k] - mu[d]) * (ts[k] - mu[0]);
@@ -86,8 +90,13 @@ def _build_dir() -> str:
     return os.path.dirname(os.path.abspath(__file__))
 
 
+# versioned filename: the ABI changed when last_diag was added — a stale
+# cached .so from an older signature must never be dlopen'ed
+_SO_NAME = "_native_mpx_v2.so"
+
+
 def _compile() -> str | None:
-    out = os.path.join(_build_dir(), "_native_mpx.so")
+    out = os.path.join(_build_dir(), _SO_NAME)
     if os.path.exists(out):
         return out
     lock = out + ".lock"
@@ -144,7 +153,7 @@ def _load():
     dp = ctypes.POINTER(ctypes.c_double)
     ip = ctypes.POINTER(ctypes.c_int64)
     i64 = ctypes.c_int64
-    lib.mpx_self.argtypes = [dp, dp, dp, dp, dp, i64, i64, i64, dp, ip]
+    lib.mpx_self.argtypes = [dp, dp, dp, dp, dp, i64, i64, i64, i64, dp, ip]
     lib.mpx_self.restype = None
     lib.mpx_ab_sweep.argtypes = [
         dp, dp, dp, dp, dp, i64,
@@ -168,14 +177,18 @@ def _pi(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
-def native_mpx_self(ts, mu, sig, df, dg, w, first_diag, mp, mpi) -> bool:
+def native_mpx_self(ts, mu, sig, df, dg, w, first_diag, mp, mpi,
+                    last_diag: int | None = None) -> bool:
     lib = _load()
     if not lib:
         return False
+    if last_diag is None:
+        last_diag = len(mu)
     lib.mpx_self(
         _p(ts), _p(mu), _p(sig), _p(df), _p(dg),
         ctypes.c_int64(len(mu)), ctypes.c_int64(w),
-        ctypes.c_int64(first_diag), _p(mp), _pi(mpi),
+        ctypes.c_int64(first_diag), ctypes.c_int64(last_diag),
+        _p(mp), _pi(mpi),
     )
     return True
 

@@ -27,7 +27,7 @@ import numpy as np
 
 from matrixprofile_ray.core.moving import muinvn, rolling_window
 
-__all__ = ["mpx", "mpx_ab"]
+__all__ = ["mpx", "mpx_ab", "mpx_partial"]
 
 # Cap on temporary cells per diagonal block (each temp ~8 bytes/cell) and on
 # rows per block (keeps the scratch allocation small for short series —
@@ -230,18 +230,21 @@ def _sweep(
     run_vi: np.ndarray,
     run_ii: np.ndarray,
     self_join: bool,
+    last_diag: int | None = None,
 ) -> None:
     plen_o = sig_o.shape[0]
     plen_i = sig_i.shape[0]
-    if first_diag >= plen_o:
+    if last_diag is None or last_diag > plen_o:
+        last_diag = plen_o
+    if first_diag >= last_diag:
         return
     width = min(plen_o - (first_diag if self_join else 0), plen_i)
     block = max(1, min(_BLOCK_ROWS, _BLOCK_CELLS // max(1, max(width, plen_o))))
     scratch = _get_scratch(block, width, plen_o)
     inner_win = inner[:w] - mu_i[0]
 
-    for d0 in range(first_diag, plen_o, block):
-        d1 = min(plen_o, d0 + block)
+    for d0 in range(first_diag, last_diag, block):
+        d1 = min(last_diag, d0 + block)
         diags = np.arange(d0, d1)
         bw = min(width, plen_o - d0)
         cov0 = _first_cov(outer, mu_o, diags, inner_win, w)
@@ -288,6 +291,49 @@ def mpx(
     if cross_correlation:
         return run_v, run_i
     return np.sqrt(2.0 * w * (1.0 - run_v)), run_i
+
+
+def mpx_partial(
+    ts: np.ndarray, w: int, diag_lo: int, diag_hi: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Partial self-join over diagonals [diag_lo, diag_hi) — the fan-out
+    unit for distributing ONE giant series across Ray tasks (reference
+    cympx.pyx:104-112 splits the same diagonal loop across OpenMP threads
+    and merges thread-local profiles).
+
+    Returns RAW Pearson partials ``(run_v, run_i)`` (unclamped, -1 where no
+    candidate). Merging rule (see ``stages/giant.py``): left-fold partials
+    in ascending diag_lo order with strict ``>`` — later partials win only
+    strictly — which reproduces the sequential kernel's earlier-diagonal
+    tie-breaking, so the merged profile is bit-identical to ``mpx``.
+    diag_lo must be ≥ minlag+1 = ceil(w/4)+1 (the caller slices the valid
+    diagonal space once).
+    """
+    ts = np.asarray(ts, dtype="d")
+    n = ts.shape[0]
+    plen = n - w + 1
+    diag_hi = min(diag_hi, plen)
+
+    mu, sig = muinvn(ts, w)
+    df, dg = _diffs(ts, mu, w)
+
+    run_v = np.full(plen, -1.0, dtype="d")
+    run_i = np.full(plen, -1, dtype=np.int64)
+    if diag_lo >= diag_hi:
+        return run_v, run_i
+
+    from matrixprofile_ray.core import _native
+
+    if not _native.native_mpx_self(
+        np.ascontiguousarray(ts), mu, sig, df, dg, w, diag_lo, run_v, run_i,
+        last_diag=diag_hi,
+    ):
+        _sweep(
+            ts, mu, sig, df, dg, ts, mu, sig, df, dg, w,
+            diag_lo, run_v, run_i, run_v, run_i, self_join=True,
+            last_diag=diag_hi,
+        )
+    return run_v, run_i
 
 
 def mpx_ab(

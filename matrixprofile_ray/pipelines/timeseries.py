@@ -181,12 +181,22 @@ def series_from_buckets(
 
 
 def profile_series(series_ds, window: int, key: str = "event_type",
-                   algorithm: str = "mpx", concurrency=2):
-    """Series rows → profile rows via the actor-pool stage."""
+                   algorithm: str = "mpx", concurrency=2,
+                   giant_threshold: int | None = None):
+    """Series rows → profile rows via the actor-pool stage.
+
+    ``giant_threshold``: series longer than this are routed OUT of the
+    per-series actor path and computed with the intra-series diagonal
+    fan-out (``stages.giant.mpx_distributed``, mpx only) — the O(n²)
+    diagonal sweep of one giant series is split across Ray tasks and
+    min-merged, instead of silently truncating history (round-1 VERDICT
+    item 7). Partitioning assumption: giant series are FEW (heavy-tail
+    heads), so the driver-side loop over them is bounded; each one's
+    quadratic work is what fans out.
+    """
     from matrixprofile_ray.stages.profile import ProfileStage
 
-    return series_ds.map_batches(
-        ProfileStage,
+    pool_kwargs = dict(
         fn_constructor_kwargs={
             "window": window, "algorithm": algorithm, "key_col": key,
         },
@@ -194,6 +204,38 @@ def profile_series(series_ds, window: int, key: str = "event_type",
         batch_size=4,
         concurrency=concurrency,
     )
+    if giant_threshold is None:
+        return series_ds.map_batches(ProfileStage, **pool_kwargs)
+    if algorithm != "mpx":
+        raise ValueError("giant_threshold routing supports algorithm='mpx'")
+
+    import ray.data as rd
+
+    from matrixprofile_ray.stages.giant import mpx_distributed
+
+    small = series_ds.filter(expr=f"n <= {int(giant_threshold)}")
+    small_prof = small.map_batches(ProfileStage, **pool_kwargs)
+    giant_rows = series_ds.filter(expr=f"n > {int(giant_threshold)}").take_all()
+    if not giant_rows:
+        return small_prof
+    out = []
+    for r in giant_rows:
+        values = np.asarray(r["values"], dtype="d")
+        if len(values) < 2 * window or len(values) < window + 4:
+            continue
+        mp, pi = mpx_distributed(values, window)
+        out.append({
+            key: r[key], "tier": r["tier"],
+            "start_ts": int(r["start_ts"]), "bucket_us": int(r["bucket_us"]),
+            "n": len(values), "w": window, "algorithm": "mpx",
+            "metric": "euclidean", "ez": 0, "join": False, "sample_pct": 1.0,
+            "mp": mp, "pi": pi,
+            "lmp": None, "lpi": None, "rmp": None, "rpi": None,
+            "values": values,
+        })
+    if not out:
+        return small_prof
+    return small_prof.union(rd.from_pandas(pd.DataFrame(out)))
 
 
 def discover_series(profiles_ds, key: str = "event_type", concurrency=2, **kwargs):
