@@ -1,10 +1,12 @@
 """Profile serialization: JSON round-trips + disk helpers.
 
 Parity target: reference io/__io.py:57-246 (to_json/from_json,
-to_disk/from_disk with extension inference). The reference's protobuf
-``mpf`` format is superseded by the engine's Parquet tables
-(pipelines/runner.py layout) and the Gorilla binary payloads
-(core/gorilla.py); JSON remains for single-profile interchange.
+to_disk/from_disk with extension inference). Three formats: json
+(single-profile interchange), parquet (engine-native columnar), and the
+reference's binary ``mpf`` (wire-compatible hand-rolled proto3 codec,
+matrixprofile_ray/mpf.py — a reference user's .mpf files load here and
+vice versa). Bulk pipeline state lives in Parquet tables
+(pipelines/runner.py layout) with Gorilla binary payloads (core/gorilla.py).
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ import numpy as np
 
 __all__ = ["to_json", "from_json", "to_disk", "from_disk", "SUPPORTED_FORMATS"]
 
-SUPPORTED_FORMATS = ("json", "parquet")
+SUPPORTED_FORMATS = ("json", "parquet", "mpf")
 
 _INT_ARRAY_KEYS = {"pi", "pib", "lpi", "rpi", "pmpi", "discords", "regimes"}
 
@@ -76,6 +78,11 @@ def to_disk(profile: dict, file_path: str, format: str = "json") -> None:
         with open(path, "w") as fh:
             fh.write(to_json(profile))
         return
+    if format == "mpf":
+        from matrixprofile_ray.mpf import to_mpf_file
+
+        to_mpf_file(profile, file_path)
+        return
     # parquet: single-profile table (list columns), the engine-native format
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -98,6 +105,10 @@ def from_disk(file_path: str) -> dict:
     if ext == ".json":
         with open(file_path) as fh:
             return from_json(fh.read())
+    if ext == ".mpf":
+        from matrixprofile_ray.mpf import from_mpf_file
+
+        return from_mpf_file(file_path)
     if ext == ".parquet":
         import pyarrow.parquet as pq
 
