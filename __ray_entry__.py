@@ -766,6 +766,147 @@ def q_flagship_pages_1d(sf_dir: str):
     return disc.reset_index(drop=True)
 
 
+# ------------------------------------------------- relational / windows
+
+def q_sessionize_users(sf_dir: str):
+    """Gap-based sessionization (30-min gap) per user: one groupby, all
+    per-key work vectorized (sorted diff) inside map_groups."""
+    from matrixprofile_ray.stages.relational import sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    df = sessionize(ds, key_col="user_id", ts_col="ts").to_pandas()
+    for c in ("user_id", "n_events", "n_sessions", "max_session_events"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each event matched to its user's most recent order at or
+    before the event time (custom operator — one shuffle, per-key
+    searchsorted; see stages/relational.py)."""
+    from matrixprofile_ray.stages.relational import asof_join
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def key_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"o_custkey": "user_id"})
+
+    orders = orders.map_batches(key_orders, batch_format="pandas")
+    # per (user, orderdate) the as-of pick must be unique: pre-aggregate
+    # max totalprice per date (ties on the as-of timestamp are otherwise
+    # nondeterministic — documented in asof_join)
+    def dedupe(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("o_orderdate", as_index=False)["o_totalprice"].max()
+        g["user_id"] = group["user_id"].iloc[0]
+        return g
+
+    orders = orders.groupby("user_id").map_groups(dedupe, batch_format="pandas")
+    out = asof_join(
+        events, orders, key="user_id",
+        left_ts="ts", right_ts="o_orderdate", right_value="o_totalprice",
+    ).to_pandas()
+    out = out.rename(columns={
+        "ts": "event_ts", "o_orderdate": "last_order_ts",
+        "o_totalprice": "last_order_totalprice",
+    })
+    for c in ("user_id", "event_ts", "last_order_ts"):
+        out[c] = out[c].astype("int64")
+    out["last_order_totalprice"] = np.round(out["last_order_totalprice"], 6)
+    return out.sort_values(["user_id", "event_ts"]).reset_index(drop=True)
+
+
+def q_moving_avg_1h(sf_dir: str):
+    """Trailing 4-bucket moving average of hourly event counts per type:
+    rollup → per-key sorted window kernel (core.moving.moving_average)."""
+    from matrixprofile_ray.core.moving import moving_average
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+
+    def ma(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("bucket_ts")
+        c = g["count"].to_numpy(dtype="d")
+        if len(c) < 4:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "bucket_ts": pd.Series(dtype="int64"),
+                "ma4": pd.Series(dtype="float64"),
+            })
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "bucket_ts": g["bucket_ts"].to_numpy()[3:].astype("int64"),
+            "ma4": np.round(moving_average(c, 4), 6),
+        })
+
+    df = buckets.groupby("event_type").map_groups(
+        ma, batch_format="pandas"
+    ).to_pandas()
+    df["bucket_ts"] = df["bucket_ts"].astype("int64")
+    return df.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+def q_orders_segment_join(sf_dir: str):
+    """Hash join orders ⋈ customer then aggregate revenue per market
+    segment (Ray Dataset.join + in-batch partial aggregation)."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    import ray
+
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = orders.join(
+        customer, join_type="inner", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def partial(batch):
+        import pyarrow as pa
+
+        df = batch.to_pandas().groupby("c_mktsegment", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": [group["c_mktsegment"].iloc[0]],
+            "revenue": [round(float(group["revenue"].sum()), 6)],
+            "n_orders": np.array([group["n_orders"].sum()], dtype="int64"),
+        })
+
+    df = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_percentile_events(sf_dir: str):
+    """Exact per-type value percentiles (linear interpolation)."""
+    from matrixprofile_ray.stages.relational import group_percentiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    df = group_percentiles(ds, "event_type", "value").to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def q_token_histogram(sf_dir: str):
+    """Global top-20 tokens: in-batch partial counts → one groupby-sum →
+    tiny sort+limit (ties break by token asc for determinism)."""
+    from matrixprofile_ray.stages.text import token_histogram
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = token_histogram(ds, k=20).to_pandas()
+    df["cnt"] = df["cnt"].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def q_giant_mpx(sf_dir: str):
     """Intra-series diagonal fan-out: ONE long series' matrix profile split
     across Ray tasks by cell-balanced diagonal ranges and strict-> merged
@@ -850,7 +991,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "flagship_pages_1d": q_flagship_pages_1d,
         "giant_mpx": q_giant_mpx,
+        "sessionize_users": q_sessionize_users,
+        "asof_join": q_asof_join,
+        "moving_avg_1h": q_moving_avg_1h,
+        "orders_segment_join": q_orders_segment_join,
+        "percentile_events": q_percentile_events,
+        "token_histogram": q_token_histogram,
     }
+
+
+def _lang_id_sql() -> str:
+    """SQL replica of stages.text.lang_id: per-language stopword-marker
+    counts over lowercased text, argmax with FIRST-language tie-break
+    (numpy argmax picks the first max; prio column reproduces it)."""
+    from matrixprofile_ray.stages.text import _LANG_MARKERS
+
+    score_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(lt) - length(replace(lt, ' {m} ', ''))) / {len(m) + 2}"
+            for m in markers
+        )
+        score_cols.append(f"({terms})::DOUBLE AS s_{lang}")
+    branches = "\n                ".join(
+        f"UNION ALL SELECT doc_id, '{lang}' AS lang_pred, {prio} AS prio, "
+        f"s_{lang} AS score FROM s"
+        for prio, lang in enumerate(_LANG_MARKERS)
+    ).replace("UNION ALL ", "", 1)
+    return f"""
+        WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        s AS (SELECT doc_id, {', '.join(score_cols)} FROM t),
+        scored AS (
+            {branches}
+        ),
+        ranked AS (
+            SELECT doc_id, lang_pred, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, prio ASC) AS rn,
+                   SUM(score) OVER (PARTITION BY doc_id) AS total
+            FROM scored
+        )
+        SELECT doc_id, lang_pred,
+               ROUND(score / greatest(total, 1.0), 6) AS lang_score
+        FROM ranked WHERE rn = 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -957,5 +1141,109 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(
                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        "lang_id": _lang_id_sql(),
+        "ngram_jaccard": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct([
+                           words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                           FOR i IN generate_series(1, greatest(len(words) - 2, 0))
+                       ]) AS grams
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(trim(text), '\\s+') AS words
+                    FROM documents
+                )
+            ), ref AS (
+                SELECT doc_id, grams FROM g ORDER BY doc_id LIMIT 25
+            )
+            SELECT r.doc_id AS a, d.doc_id AS b,
+                   ROUND(len(list_intersect(r.grams, d.grams)) * 1.0 /
+                         (len(r.grams) + len(d.grams)
+                          - len(list_intersect(r.grams, d.grams))), 6)
+                       AS jaccard
+            FROM ref r JOIN g d ON r.doc_id < d.doc_id
+            WHERE len(r.grams) > 0 AND len(d.grams) > 0
+              AND len(list_intersect(r.grams, d.grams)) * 1.0 /
+                  (len(r.grams) + len(d.grams)
+                   - len(list_intersect(r.grams, d.grams))) > 0.05
+        """,
+        "sessionize_users": """
+            WITH m AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts)
+                            > 1800000000 THEN 1 ELSE 0 END AS brk
+                FROM events
+            ), s AS (
+                SELECT user_id,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m
+            ), grp AS (
+                SELECT user_id, sid, count(*) AS c FROM s GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   SUM(c)::BIGINT AS n_events,
+                   COUNT(*)::BIGINT AS n_sessions,
+                   MAX(c)::BIGINT AS max_session_events
+            FROM grp GROUP BY user_id
+        """,
+        "asof_join": """
+            WITH o AS (
+                SELECT o_custkey AS user_id, o_orderdate,
+                       max(o_totalprice) AS o_totalprice
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.user_id,
+                   epoch_us(e.ts) AS event_ts,
+                   epoch_us(o.o_orderdate) AS last_order_ts,
+                   ROUND(o.o_totalprice, 6) AS last_order_totalprice
+            FROM events e
+            ASOF JOIN o ON o.user_id = e.user_id AND o.o_orderdate <= e.ts
+        """,
+        "moving_avg_1h": f"""
+            WITH b AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ), w AS (
+                SELECT event_type, bucket_ts,
+                       AVG(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_ts
+                                      ROWS BETWEEN 3 PRECEDING
+                                      AND CURRENT ROW) AS ma4,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY bucket_ts) AS rn
+                FROM b
+            )
+            SELECT event_type, bucket_ts, ROUND(ma4, 6) AS ma4
+            FROM w WHERE rn >= 4
+        """,
+        "orders_segment_join": """
+            SELECT c_mktsegment,
+                   ROUND(SUM(o_totalprice), 6) AS revenue,
+                   COUNT(*)::BIGINT AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "percentile_events": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                   ROUND(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY 1
+        """,
+        "token_histogram": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS token
+                FROM documents
+            ), c AS (
+                SELECT token, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY 1
+            )
+            SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20
         """,
     }

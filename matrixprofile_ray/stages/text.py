@@ -18,6 +18,7 @@ __all__ = [
     "text_quality",
     "lang_id",
     "fingerprint",
+    "token_histogram",
     "TOP_STOPWORDS",
 ]
 
@@ -107,6 +108,47 @@ def lang_id(batch: pa.Table) -> pa.Table:
             np.round(scores[np.arange(len(best)), best] / total, 6), pa.float64()
         ),
     })
+
+
+def token_histogram(ds, k: int = 20):
+    """Global top-k tokens by count (lowercased, whitespace-split).
+
+    Partial-combine topology: each batch pre-aggregates its own token
+    counts IN-BATCH (Arrow split + value_counts), so the groupby shuffles
+    one row per (batch, distinct-token) — vocabulary-bounded, not
+    corpus-bounded. Ties at the boundary break by token ascending, making
+    the top-k deterministic.
+    """
+    import pandas as pd
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        counted = flat.value_counts()
+        return pa.table({
+            "token": counted.field("values"),
+            "cnt": pc.cast(counted.field("counts"), pa.int64()),
+        })
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(
+            [c if c != "sum(cnt)" else "cnt" for c in tbl.column_names]
+        )
+
+    top = (
+        totals.map_batches(rename, batch_format="pyarrow")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )
+    return top
 
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
