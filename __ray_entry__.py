@@ -797,13 +797,16 @@ def q_asof_join(sf_dir: str):
     orders = orders.map_batches(key_orders, batch_format="pandas")
     # per (user, orderdate) the as-of pick must be unique: pre-aggregate
     # max totalprice per date (ties on the as-of timestamp are otherwise
-    # nondeterministic — documented in asof_join)
-    def dedupe(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby("o_orderdate", as_index=False)["o_totalprice"].max()
-        g["user_id"] = group["user_id"].iloc[0]
-        return g
+    # nondeterministic — documented in asof_join). Partition-level pandas
+    # groupby, not per-key map_groups (Ray overhead per key).
+    from matrixprofile_ray.util import partitioned_group_map
 
-    orders = orders.groupby("user_id").map_groups(dedupe, batch_format="pandas")
+    def dedupe_partition(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(
+            ["user_id", "o_orderdate"], as_index=False
+        )["o_totalprice"].max()
+
+    orders = partitioned_group_map(orders, ["user_id"], dedupe_partition)
     out = asof_join(
         events, orders, key="user_id",
         left_ts="ts", right_ts="o_orderdate", right_value="o_totalprice",

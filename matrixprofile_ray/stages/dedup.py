@@ -238,38 +238,62 @@ def minhash_dedup_pairs(
             }))
         return pa.concat_tables(parts)
 
-    def candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def candidate_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        """All (band,bucket) groups of one PARTITION, pairs vectorized by
+        segment-size class (per-group map_groups paid ~0.2 ms × 70k
+        buckets; built-in aggregates are worse — see util helper)."""
         empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
                               "b": pd.Series(dtype="int64")})
-        if len(group) < 2:
+        band = part["band"].to_numpy()
+        bucket = part["bucket"].to_numpy()
+        ids = part["doc_id"].to_numpy()
+        order = np.lexsort((ids, bucket, band))
+        band, bucket, ids = band[order], bucket[order], ids[order]
+        new_seg = np.ones(len(ids), dtype=bool)
+        new_seg[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(new_seg)
+        sizes = np.diff(np.append(starts, len(ids)))
+        out_a, out_b = [], []
+        for c in np.unique(sizes):
+            if c < 2:
+                continue
+            sel = starts[sizes == c]
+            mat = ids[sel[:, None] + np.arange(c)[None, :]]
+            iu, ju = np.triu_indices(int(c), k=1)
+            if max_bucket_size is not None and c > max_bucket_size:
+                keep = iu < max_bucket_size  # star cap for degenerate buckets
+                iu, ju = iu[keep], ju[keep]
+            out_a.append(mat[:, iu].ravel())
+            out_b.append(mat[:, ju].ravel())
+        if not out_a:
             return empty
-        ids = np.sort(group["doc_id"].to_numpy())
-        n = len(ids)
-        n_left = n if max_bucket_size is None or n <= max_bucket_size \
-            else max_bucket_size
-        iu, ju = np.triu_indices(n, k=1)
-        keep = iu < n_left
-        return pd.DataFrame({"a": ids[iu[keep]].astype(np.int64),
-                             "b": ids[ju[keep]].astype(np.int64)})
+        return pd.DataFrame({
+            "a": np.concatenate(out_a).astype(np.int64),
+            "b": np.concatenate(out_b).astype(np.int64),
+        })
 
-    def first_copy(group: pd.DataFrame) -> pd.DataFrame:
-        return group.iloc[:1][["a", "b"]]
+    def distinct_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["a", "b"])[["a", "b"]]
 
     if num_partitions is None:
         import ray
 
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
 
+    from matrixprofile_ray.util import partitioned_group_map
+
     # materialize the (tiny) candidate set: chaining two hash-shuffle
     # groupbys into two hash joins in ONE lazy DAG makes the fixed actor
     # pools contend for CPU (3× wall time measured at 8 cpus); the barrier
     # costs nothing because candidates ≪ corpus
-    candidates = (
-        sigs.map_batches(explode_slim, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(candidate_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(first_copy, batch_format="pandas")
+    exploded = sigs.map_batches(explode_slim, batch_format="pyarrow")
+    cand_raw = partitioned_group_map(
+        exploded, ["band", "bucket"], candidate_pairs,
+        num_partitions=num_partitions * 2,
+    )
+    candidates = partitioned_group_map(
+        cand_raw, ["a", "b"], distinct_pairs,
+        num_partitions=num_partitions * 2,
     ).materialize()
 
     sig_tbl = sigs.select_columns(["doc_id", "sig"])
@@ -359,17 +383,17 @@ def simhash_dedup(ds, shingle_k: int = 5):
         lambda b: simhash(b, shingle_k), batch_format="pyarrow"
     )
 
-    def first_per_group(group: pd.DataFrame) -> pd.DataFrame:
-        keep = group["doc_id"].min()
-        return pd.DataFrame({
-            "simhash": [group["simhash"].iloc[0]],
-            "keep_doc_id": [keep],
-            "group_size": [len(group)],
-        })
+    def fold_partition(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("simhash", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), group_size=("doc_id", "size")
+        )
+        return g[["simhash", "keep_doc_id", "group_size"]]
 
-    return hashed.groupby("simhash").map_groups(
-        first_per_group, batch_format="pandas"
-    )
+    from matrixprofile_ray.util import partitioned_group_map
+
+    # simhash cardinality ~ distinct docs: per-group map_groups pays
+    # Ray overhead per GROUP; one pandas groupby per partition is C-speed
+    return partitioned_group_map(hashed, ["simhash"], fold_partition)
 
 
 def simhash_neardup(ds, shingle_k: int = 5, k: int = 3,
@@ -408,51 +432,74 @@ def simhash_neardup(ds, shingle_k: int = 5, k: int = 3,
             }))
         return pa.concat_tables(parts)
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
+    def verify_partition(part: pd.DataFrame) -> pd.DataFrame:
+        """All (band,bucket) groups of one partition: segment pair
+        generation by size class, vectorized popcount, first-agreeing-band
+        dedup — no per-bucket UDF calls."""
         empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
                               "b": pd.Series(dtype="int64"),
                               "hamming": pd.Series(dtype="int64")})
-        if len(group) < 2:
+        band = part["band"].to_numpy()
+        bucket = part["bucket"].to_numpy()
+        ids = part["doc_id"].to_numpy()
+        h_all = part["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.lexsort((ids, bucket, band))
+        band, bucket = band[order], bucket[order]
+        ids, h_all = ids[order], h_all[order]
+        new_seg = np.ones(len(ids), dtype=bool)
+        new_seg[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(new_seg)
+        sizes = np.diff(np.append(starts, len(ids)))
+        pa_, pb_, ph_a, ph_b, pband = [], [], [], [], []
+        for c in np.unique(sizes):
+            if c < 2:
+                continue
+            sel = starts[sizes == c]
+            idx = sel[:, None] + np.arange(c)[None, :]
+            iu, ju = np.triu_indices(int(c), k=1)
+            if max_bucket_size is not None and c > max_bucket_size:
+                keep = iu < max_bucket_size
+                iu, ju = iu[keep], ju[keep]
+            m = len(sel)
+            pa_.append(ids[idx[:, iu]].ravel())
+            pb_.append(ids[idx[:, ju]].ravel())
+            ph_a.append(h_all[idx[:, iu]].ravel())
+            ph_b.append(h_all[idx[:, ju]].ravel())
+            pband.append(np.repeat(band[sel], len(iu)))
+        if not pa_:
             return empty
-        order = np.argsort(group["doc_id"].to_numpy())
-        ids = group["doc_id"].to_numpy()[order]
-        h = group["simhash"].to_numpy()[order].astype(np.int64).view(np.uint64)
-        band = int(group["band"].iloc[0])
-        n = len(ids)
-        n_left = n if max_bucket_size is None or n <= max_bucket_size \
-            else max_bucket_size
-        iu, ju = np.triu_indices(n, k=1)
-        keep = iu < n_left
-        iu, ju = iu[keep], ju[keep]
-        x = (h[iu] ^ h[ju]).view(np.uint64)
+        a = np.concatenate(pa_)
+        b = np.concatenate(pb_)
+        ha = np.concatenate(ph_a)
+        hb = np.concatenate(ph_b)
+        pb = np.concatenate(pband)
+        x = ha ^ hb
         d = np.zeros(len(x), dtype=np.int64)
         for s in range(0, 64, 8):
             d += popcnt8[((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.int64)]
         ok = d <= k
-        # report a pair only from its FIRST agreeing band so the
-        # downstream pair-dedup groupby stays tiny
-        if ok.any():
-            first_band = np.zeros(ok.sum(), dtype=bool)
-            ha, hb = h[iu[ok]], h[ju[ok]]
-            for bi in range(band):
-                agree = ((ha >> shifts[bi]) & masks[bi]) == \
-                        ((hb >> shifts[bi]) & masks[bi])
-                first_band |= agree
-            ok_idx = np.flatnonzero(ok)[~first_band]
-        else:
-            ok_idx = np.empty(0, dtype=np.int64)
-        if not len(ok_idx):
+        # report a pair only from its FIRST agreeing band (dedup without a
+        # second shuffle): drop it if any earlier band also agrees
+        earlier = np.zeros(len(x), dtype=bool)
+        for bi in range(n_bands - 1):
+            agree = ((ha >> shifts[bi]) & masks[bi]) == \
+                    ((hb >> shifts[bi]) & masks[bi])
+            earlier |= agree & (pb > bi)
+        keep = ok & ~earlier
+        if not keep.any():
             return empty
         return pd.DataFrame({
-            "a": ids[iu[ok_idx]].astype(np.int64),
-            "b": ids[ju[ok_idx]].astype(np.int64),
-            "hamming": d[ok_idx],
+            "a": a[keep].astype(np.int64),
+            "b": b[keep].astype(np.int64),
+            "hamming": d[keep],
         })
 
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(verify, batch_format="pandas")
+    from matrixprofile_ray.util import partitioned_group_map
+
+    return partitioned_group_map(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["band", "bucket"],
+        verify_partition,
     )
 
 
@@ -477,15 +524,17 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": [int(group[id_col].min())],
-            "dup_count": [len(group)],
-        })
+    def fold_partition(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["hash_hi", "hash_lo"], as_index=False).agg(
+            doc_id=(id_col, "min"), dup_count=(id_col, "size")
+        )
+        return g[["doc_id", "dup_count"]]
 
-    return hashed.groupby(["hash_hi", "hash_lo"]).map_groups(
-        keep_first, batch_format="pandas"
-    )
+    from matrixprofile_ray.util import partitioned_group_map
+
+    # group count == distinct-doc count (billions at corpus scale): the
+    # shuffle must be partition-cardinality, the per-key fold pandas-native
+    return partitioned_group_map(hashed, ["hash_hi", "hash_lo"], fold_partition)
 
 
 # --------------------------------------------------------- n-gram Jaccard

@@ -40,18 +40,35 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
     Output: key, n_events, n_sessions, max_session_events (int64).
     """
 
-    def sess(group: pd.DataFrame) -> pd.DataFrame:
-        t = np.sort(_ts_int(group[ts_col]))
-        breaks = np.flatnonzero(np.diff(t) > gap_us)
-        sizes = np.diff(np.concatenate([[0], breaks + 1, [len(t)]]))
-        return pd.DataFrame({
-            key_col: [group[key_col].iloc[0]],
-            "n_events": np.array([len(t)], dtype=np.int64),
-            "n_sessions": np.array([len(sizes)], dtype=np.int64),
-            "max_session_events": np.array([sizes.max()], dtype=np.int64),
-        })
+    def sess_partition(part: pd.DataFrame) -> pd.DataFrame:
+        """All keys of one partition at once: one lexsort, one diff, one
+        pandas session-size groupby (per-key map_groups pays Ray overhead
+        per KEY — millions of users at corpus scale)."""
+        keys = part[key_col].to_numpy()
+        t = _ts_int(part[ts_col])
+        order = np.lexsort((t, keys))
+        keys, t = keys[order], t[order]
+        new_key = np.ones(len(t), dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        starts = new_key.copy()
+        starts[1:] |= np.diff(t) > gap_us
+        sess_id = np.cumsum(starts) - 1
+        sess_sizes = np.bincount(sess_id)
+        sess_key = keys[starts]  # key owning each session
+        g = pd.DataFrame({key_col: sess_key, "sz": sess_sizes}).groupby(
+            key_col, as_index=False
+        ).agg(
+            n_events=("sz", "sum"),
+            n_sessions=("sz", "size"),
+            max_session_events=("sz", "max"),
+        )
+        for c in ("n_events", "n_sessions", "max_session_events"):
+            g[c] = g[c].astype(np.int64)
+        return g
 
-    return ds.groupby(key_col).map_groups(sess, batch_format="pandas")
+    from matrixprofile_ray.util import partitioned_group_map
+
+    return partitioned_group_map(ds, [key_col], sess_partition)
 
 
 def asof_join(left_ds, right_ds, key: str, left_ts: str, right_ts: str,
@@ -83,36 +100,41 @@ def asof_join(left_ds, right_ds, key: str, left_ts: str, right_ts: str,
         right_ds.map_batches(tag_right, batch_format="pandas")
     )
 
-    def match(group: pd.DataFrame) -> pd.DataFrame:
+    def match_partition(part: pd.DataFrame) -> pd.DataFrame:
+        """All keys of one partition via ONE pd.merge_asof(by=key) — per-key
+        map_groups pays Ray overhead per key (measured ~25 ms/key).
+
+        Ties on the right timestamp: merge_asof keeps the LAST right row in
+        sort order — callers needing determinism should aggregate the right
+        side to tie-free timestamps first."""
         empty = pd.DataFrame({
-            key: pd.Series(dtype=group["k"].dtype),
+            key: pd.Series(dtype=part["k"].dtype),
             left_ts: pd.Series(dtype="int64"),
             right_ts: pd.Series(dtype="int64"),
             right_value: pd.Series(dtype="float64"),
         })
-        is_right = group["side"].to_numpy() == 1
-        lt = group["t"].to_numpy()[~is_right]
-        rt = group["t"].to_numpy()[is_right]
-        rv = group["v"].to_numpy()[is_right]
-        if not len(lt) or not len(rt):
+        is_right = part["side"].to_numpy() == 1
+        left = part.loc[~is_right, ["k", "t"]].sort_values("t", kind="stable")
+        right = part.loc[is_right, ["k", "t", "v"]].sort_values(
+            "t", kind="stable"
+        ).rename(columns={"t": "rt"})
+        if left.empty or right.empty:
             return empty
-        order = np.argsort(rt, kind="stable")
-        rt, rv = rt[order], rv[order]
-        # ties on right_ts: keep the LAST (searchsorted 'right' - 1), i.e.
-        # the max-value-at-max-ts is whatever sorts last — callers needing
-        # determinism should pass a tie-free right side or aggregate first
-        idx = np.searchsorted(rt, lt, side="right") - 1
-        ok = idx >= 0
-        if not ok.any():
+        m = pd.merge_asof(left, right, left_on="t", right_on="rt", by="k",
+                          direction="backward")
+        m = m.dropna(subset=["rt"])
+        if m.empty:
             return empty
         return pd.DataFrame({
-            key: group["k"].to_numpy()[~is_right][ok],
-            left_ts: lt[ok],
-            right_ts: rt[idx[ok]],
-            right_value: rv[idx[ok]],
+            key: m["k"].to_numpy(),
+            left_ts: m["t"].to_numpy().astype(np.int64),
+            right_ts: m["rt"].to_numpy().astype(np.int64),
+            right_value: m["v"].to_numpy(dtype="d"),
         })
 
-    return tagged.groupby("k").map_groups(match, batch_format="pandas")
+    from matrixprofile_ray.util import partitioned_group_map
+
+    return partitioned_group_map(tagged, ["k"], match_partition)
 
 
 def group_percentiles(ds, key_col: str, value_col: str,

@@ -1,10 +1,10 @@
-"""Engine-wide Ray Data context defaults."""
+"""Engine-wide Ray Data context defaults + high-cardinality groupby helper."""
 
 from __future__ import annotations
 
 import os
 
-__all__ = ["ensure_hash_shuffle"]
+__all__ = ["ensure_hash_shuffle", "partitioned_group_map"]
 
 
 def _cluster_cpus() -> int | None:
@@ -52,3 +52,56 @@ def ensure_hash_shuffle() -> None:
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
     except Exception:
         pass
+
+
+def partitioned_group_map(
+    ds,
+    keys: list[str],
+    fn,
+    num_partitions: int | None = None,
+):
+    """Group-by for HIGH-CARDINALITY keys: one low-cardinality shuffle +
+    one vectorized call per PARTITION.
+
+    Ray 2.49's ``groupby(keys).map_groups`` and built-in ``aggregate`` both
+    pay per-GROUP overhead (measured ~0.2-25 ms/group; a 236k-group dedupe
+    took 95 s via map_groups and >600 s via the built-in Count). This
+    helper instead hash-partitions rows on the key columns into
+    ``num_partitions`` buckets (deterministic pd.util.hash_array, seed
+    fixed) and calls ``fn(partition_df)`` ONCE per partition — fn sees all
+    rows of every key it owns and must process its keys vectorized
+    (pandas groupby / lexsort + reduceat / merge_asof). Keys never split
+    across partitions; partition count is cluster-sized, not
+    data-sized, so the per-call overhead is O(cores).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = max(
+                8, int(ray.cluster_resources().get("CPU", 8)) * 2
+            )
+        except Exception:
+            num_partitions = 16
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for col in keys:
+            h = h * np.uint64(1099511628211) + pd.util.hash_array(
+                np.asarray(batch[col].to_numpy())
+            ).astype(np.uint64)
+        batch = batch.copy()
+        batch["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return batch
+
+    def run_part(group: pd.DataFrame) -> pd.DataFrame:
+        return fn(group.drop(columns=["_part"]))
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(run_part, batch_format="pandas")
+    )
