@@ -715,6 +715,16 @@ def q_ann_lsh(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q_ann_ivf(sf_dir: str):
+    from matrixprofile_ray.stages.ann import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = ivf_topk(ds, _query_vectors(sf_dir), k=10, nlist=8, nprobe=3).to_pandas()
+    for c in ("query_id", "vec_id"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Exact embedding-cosine near-dup pairs (nbits=0 ⇒ one bucket ⇒ exact).
 
@@ -990,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "flagship_pages_1d": q_flagship_pages_1d,

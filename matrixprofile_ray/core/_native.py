@@ -24,7 +24,11 @@ import time
 
 import numpy as np
 
-__all__ = ["native_mpx_self", "native_mpx_ab", "available"]
+__all__ = [
+    "native_mpx_self", "native_mpx_ab", "available",
+    "native_gorilla_encode", "native_gorilla_decode",
+    "native_ts_encode", "native_ts_decode",
+]
 
 _SRC = r"""
 #include <stdint.h>
@@ -81,6 +85,164 @@ void mpx_ab_sweep(const double *outer, const double *mu_o, const double *sig_o,
         }
     }
 }
+
+/* ---- Gorilla codecs: bit-exact C replicas of core/gorilla.py ---- */
+
+typedef struct { uint8_t *buf; int64_t len; unsigned __int128 acc; int nbits; } bw_t;
+
+static inline void bw_write(bw_t *w, uint64_t value, int bits)
+{
+    uint64_t mask = (bits >= 64) ? ~0ULL : ((1ULL << bits) - 1);
+    w->acc = (w->acc << bits) | (value & mask);
+    w->nbits += bits;
+    while (w->nbits >= 8) {
+        w->nbits -= 8;
+        w->buf[w->len++] = (uint8_t)((uint64_t)(w->acc >> w->nbits) & 0xFF);
+    }
+    w->acc &= (((unsigned __int128)1) << w->nbits) - 1;
+}
+
+static inline int64_t bw_finish(bw_t *w)
+{
+    if (w->nbits)
+        w->buf[w->len++] = (uint8_t)(((uint64_t)w->acc << (8 - w->nbits)) & 0xFF);
+    return w->len;
+}
+
+typedef struct { const uint8_t *data; int64_t pos; } br_t;
+
+static inline uint64_t br_read(br_t *r, int bits)
+{
+    uint64_t out = 0;
+    int remaining = bits;
+    while (remaining) {
+        int64_t byte_idx = r->pos >> 3;
+        int bit_idx = (int)(r->pos & 7);
+        int take = 8 - bit_idx;
+        if (take > remaining) take = remaining;
+        uint8_t chunk = r->data[byte_idx] >> (8 - bit_idx - take);
+        out = (out << take) | (uint64_t)(chunk & ((1 << take) - 1));
+        r->pos += take;
+        remaining -= take;
+    }
+    return out;
+}
+
+int64_t gorilla_encode_f(const uint64_t *bits, int64_t n, uint8_t *out)
+{
+    bw_t w = {out, 0, 0, 0};
+    bw_write(&w, (uint64_t)n, 32);
+    if (n > 0) {
+        bw_write(&w, bits[0], 64);
+        uint64_t prev = bits[0];
+        int prev_lead = -1, prev_len = 0;
+        for (int64_t i = 1; i < n; i++) {
+            uint64_t cur = bits[i];
+            uint64_t x = prev ^ cur;
+            prev = cur;
+            if (!x) { bw_write(&w, 0, 1); continue; }
+            int lead = __builtin_clzll(x);
+            int trail = __builtin_ctzll(x);
+            if (lead > 31) lead = 31;
+            if (prev_lead >= 0 && lead >= prev_lead
+                && trail >= 64 - prev_lead - prev_len) {
+                bw_write(&w, 2, 2);
+                bw_write(&w, x >> (64 - prev_lead - prev_len), prev_len);
+            } else {
+                int mbits = 64 - lead - trail;
+                bw_write(&w, 3, 2);
+                bw_write(&w, (uint64_t)lead, 5);
+                bw_write(&w, (uint64_t)(mbits - 1), 6);
+                bw_write(&w, x >> trail, mbits);
+                prev_lead = lead; prev_len = mbits;
+            }
+        }
+    }
+    return bw_finish(&w);
+}
+
+int64_t gorilla_decode_f(const uint8_t *data, uint64_t *out)
+{
+    br_t r = {data, 0};
+    int64_t n = (int64_t)br_read(&r, 32);
+    if (n == 0) return 0;
+    uint64_t prev = br_read(&r, 64);
+    out[0] = prev;
+    int prev_lead = -1, prev_len = 0;
+    for (int64_t i = 1; i < n; i++) {
+        if (br_read(&r, 1) == 0) { out[i] = prev; continue; }
+        int lead, mbits;
+        if (br_read(&r, 1) == 0) { lead = prev_lead; mbits = prev_len; }
+        else {
+            lead = (int)br_read(&r, 5);
+            mbits = (int)br_read(&r, 6) + 1;
+            prev_lead = lead; prev_len = mbits;
+        }
+        uint64_t x = br_read(&r, mbits) << (64 - lead - mbits);
+        prev ^= x;
+        out[i] = prev;
+    }
+    return n;
+}
+
+int64_t ts_encode(const int64_t *ts, int64_t n, uint8_t *out)
+{
+    bw_t w = {out, 0, 0, 0};
+    bw_write(&w, (uint64_t)n, 32);
+    if (n >= 1) bw_write(&w, (uint64_t)ts[0], 64);
+    if (n >= 2) {
+        int64_t delta = ts[1] - ts[0];
+        bw_write(&w, (uint64_t)delta, 64);
+        for (int64_t i = 2; i < n; i++) {
+            int64_t nd = ts[i] - ts[i - 1];
+            int64_t dod = nd - delta;
+            delta = nd;
+            if (dod == 0) { bw_write(&w, 0, 1); continue; }
+            if (dod >= -64 && dod <= 63) {
+                bw_write(&w, 2, 2); bw_write(&w, (uint64_t)dod, 7);
+            } else if (dod >= -256 && dod <= 255) {
+                bw_write(&w, 6, 3); bw_write(&w, (uint64_t)dod, 9);
+            } else if (dod >= -2048 && dod <= 2047) {
+                bw_write(&w, 14, 4); bw_write(&w, (uint64_t)dod, 12);
+            } else {
+                bw_write(&w, 15, 4); bw_write(&w, (uint64_t)dod, 64);
+            }
+        }
+    }
+    return bw_finish(&w);
+}
+
+static inline int64_t br_signed(br_t *r, int bits)
+{
+    uint64_t v = br_read(r, bits);
+    if (bits < 64 && v >= (1ULL << (bits - 1)))
+        return (int64_t)(v - (1ULL << bits));
+    return (int64_t)v;
+}
+
+int64_t ts_decode(const uint8_t *data, int64_t *out)
+{
+    br_t r = {data, 0};
+    int64_t n = (int64_t)br_read(&r, 32);
+    if (n == 0) return 0;
+    out[0] = br_signed(&r, 64);
+    if (n == 1) return 1;
+    int64_t delta = br_signed(&r, 64);
+    out[1] = out[0] + delta;
+    for (int64_t i = 2; i < n; i++) {
+        int64_t dod;
+        if (br_read(&r, 1) == 0) dod = 0;
+        else {
+            int cls = 0;
+            while (cls < 3 && br_read(&r, 1) == 1) cls++;
+            static const int vb[4] = {7, 9, 12, 64};
+            dod = br_signed(&r, vb[cls]);
+        }
+        delta += dod;
+        out[i] = out[i - 1] + delta;
+    }
+    return n;
+}
 """
 
 _LIB = None
@@ -90,9 +252,9 @@ def _build_dir() -> str:
     return os.path.dirname(os.path.abspath(__file__))
 
 
-# versioned filename: the ABI changed when last_diag was added — a stale
-# cached .so from an older signature must never be dlopen'ed
-_SO_NAME = "_native_mpx_v2.so"
+# versioned filename: the ABI changes (last_diag, gorilla codecs) mean a
+# stale cached .so from an older signature must never be dlopen'ed
+_SO_NAME = "_native_mpx_v3.so"
 
 
 def _compile() -> str | None:
@@ -161,6 +323,16 @@ def _load():
         i64, dp, ip, dp, ip,
     ]
     lib.mpx_ab_sweep.restype = None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.gorilla_encode_f.argtypes = [u64p, i64, u8p]
+    lib.gorilla_encode_f.restype = i64
+    lib.gorilla_decode_f.argtypes = [u8p, u64p]
+    lib.gorilla_decode_f.restype = i64
+    lib.ts_encode.argtypes = [ip, i64, u8p]
+    lib.ts_encode.restype = i64
+    lib.ts_decode.argtypes = [u8p, ip]
+    lib.ts_decode.restype = i64
     _LIB = lib
     return _LIB
 
@@ -191,6 +363,63 @@ def native_mpx_self(ts, mu, sig, df, dg, w, first_diag, mp, mpi,
         _p(mp), _pi(mpi),
     )
     return True
+
+
+def native_gorilla_encode(values: np.ndarray) -> bytes | None:
+    """C fast path for gorilla_encode_floats; None if no compiler."""
+    lib = _load()
+    if not lib:
+        return None
+    values = np.ascontiguousarray(values, dtype="<f8")
+    n = len(values)
+    out = np.empty(10 * n + 16, dtype=np.uint8)
+    ln = lib.gorilla_encode_f(
+        values.view("<u8").ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out[:ln].tobytes()
+
+
+def native_gorilla_decode(data: bytes) -> np.ndarray | None:
+    lib = _load()
+    if not lib:
+        return None
+    n = int.from_bytes(data[:4], "big")
+    out = np.empty(n, dtype="<u8")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    lib.gorilla_decode_f(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return out.view("<f8")
+
+
+def native_ts_encode(ts: np.ndarray) -> bytes | None:
+    lib = _load()
+    if not lib:
+        return None
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    n = len(ts)
+    out = np.empty(9 * n + 24, dtype=np.uint8)
+    ln = lib.ts_encode(
+        _pi(ts), ctypes.c_int64(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out[:ln].tobytes()
+
+
+def native_ts_decode(data: bytes) -> np.ndarray | None:
+    lib = _load()
+    if not lib:
+        return None
+    n = int.from_bytes(data[:4], "big")
+    out = np.empty(n, dtype=np.int64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    lib.ts_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _pi(out)
+    )
+    return out
 
 
 def native_mpx_ab(outer, mu_o, sig_o, df_o, dg_o,

@@ -70,8 +70,18 @@ class _BitReader:
 
 
 def gorilla_encode_floats(values: np.ndarray) -> bytes:
-    """Encode a float64 array; returns bytes with a 4-byte length header."""
+    """Encode a float64 array; returns bytes with a 4-byte length header.
+
+    Hot path is the C codec (core/_native.py, bit-exact replica of the
+    loop below — parity-tested); the Python loop remains as the
+    no-compiler fallback and the format's reference implementation.
+    """
     values = np.asarray(values, dtype="<f8")
+    from matrixprofile_ray.core import _native
+
+    enc = _native.native_gorilla_encode(values)
+    if enc is not None:
+        return enc
     bits = values.view("<u8")
     n = len(values)
     w = _BitWriter()
@@ -111,6 +121,11 @@ def gorilla_encode_floats(values: np.ndarray) -> bytes:
 
 
 def gorilla_decode_floats(data: bytes) -> np.ndarray:
+    from matrixprofile_ray.core import _native
+
+    dec = _native.native_gorilla_decode(data)
+    if dec is not None:
+        return dec
     r = _BitReader(data)
     n = r.read(32)
     out = np.empty(n, dtype="<u8")
@@ -145,6 +160,11 @@ _DOD_CLASSES = (
 def timestamps_encode(ts: np.ndarray) -> bytes:
     """Delta-of-delta encode int64 timestamps (µs since epoch)."""
     ts = np.asarray(ts).astype(np.int64)
+    from matrixprofile_ray.core import _native
+
+    enc = _native.native_ts_encode(ts)
+    if enc is not None:
+        return enc
     n = len(ts)
     w = _BitWriter()
     w.write(n, 32)
@@ -172,6 +192,11 @@ def timestamps_encode(ts: np.ndarray) -> bytes:
 
 
 def timestamps_decode(data: bytes) -> np.ndarray:
+    from matrixprofile_ray.core import _native
+
+    dec = _native.native_ts_decode(data)
+    if dec is not None:
+        return dec
     r = _BitReader(data)
     n = r.read(32)
     out = np.empty(n, dtype=np.int64)

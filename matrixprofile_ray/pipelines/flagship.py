@@ -88,11 +88,13 @@ def series_all_tiers(pages_ds, tiers=("raw", "1h", "1d", "7d"),
     )
     pipeline = DomainPipeline(tiers=tiers, value_col=value_col)
 
-    def domain_pipeline(group):
-        return pipeline(group)
+    from matrixprofile_ray.util import partitioned_group_map
 
-    return partials.groupby("domain").map_groups(
-        domain_pipeline, batch_format="pandas"
+    # partition-level processing: all domains of a hash partition in one
+    # call (per-domain map_groups paid Ray bookkeeping + a one-row pandas
+    # frame per (domain, tier) — measurable at 8k+ domains)
+    return partitioned_group_map(
+        partials, ["domain"], pipeline.process_partition
     )
 
 
@@ -113,23 +115,32 @@ def flagship(
     pipelines/runner.py).
     """
     series = series_all_tiers(pages_ds, tiers=tiers)
+    profile_input = series
     if materialize_series:
         # one dense row per (domain, tier) — tiny relative to pages; at
         # 100 TB the equivalent is write_parquet + read of the series
         # table so downstream consumers never rescan the corpus
         # materialize BEFORE repartitioning: chaining the repartition
         # AllToAll onto the hash-groupby plan triples the stage's wall time
-        # (measured 24s -> 85s at 1M pages); then split to a few rows per
-        # block so the actor pool load-balances (one actor task per block)
+        # (measured 24s -> 85s at 1M pages); then split for the actor pool
+        # (one actor task per block). Block size is a real lever: Ray pays
+        # ~ms-scale machinery per task, so 8-row blocks cost ~25 s per
+        # stage at 32k rows (measured); 32 rows balances the pool against
+        # task-count overhead (91.7 s / 78.3 s / 86.9 s at 8/32/64).
         series = series.materialize()
-        series = series.repartition(target_num_rows_per_block=8).materialize()
+        profile_input = series.repartition(
+            target_num_rows_per_block=32
+        ).materialize()
 
+    # gorilla encode is C-speed per value: run it on the BIG shuffle-output
+    # blocks (1.05 s) — tiny repartitioned blocks cost 24x more in pure
+    # task machinery (measured 24.8 s)
     gorilla = series.map_batches(encode_series, batch_format="pandas")
-    profiles = series.map_batches(
+    profiles = profile_input.map_batches(
         ProfileStage,
         fn_constructor_kwargs={"window": window, "algorithm": algorithm},
         batch_format="pandas",
-        batch_size=4,  # heavy rows: small batches keep the pool balanced
+        batch_size=32,
         concurrency=profile_concurrency,
     )
     # discovery is ~50x cheaper than profiling and stateless (config only):
@@ -143,7 +154,7 @@ def flagship(
     discoveries = profiles.map_batches(
         discover_batch,
         batch_format="pandas",
-        batch_size=4,
+        batch_size=32,
     )
     results = {
         "series": series,

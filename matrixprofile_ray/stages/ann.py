@@ -16,7 +16,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["BruteForceTopK", "brute_force_topk", "lsh_topk", "near_duplicates"]
+__all__ = [
+    "BruteForceTopK", "brute_force_topk", "lsh_topk", "ivf_topk",
+    "near_duplicates",
+]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -145,6 +148,72 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, nbits: int = 8,
         ds.map_batches(bucketize, batch_format="pandas")
         .groupby("bucket")
         .map_groups(score_bucket, batch_format="pandas")
+    )
+
+
+def ivf_topk(ds, queries: dict[int, np.ndarray], k: int = 10,
+             nlist: int = 16, nprobe: int = 4, seed: int = 23):
+    """IVF-style ANN: coarse-quantize vectors into ``nlist`` cells, score a
+    query only against the ``nprobe`` cells nearest to it.
+
+    The scale path next to ``lsh_topk``: centroids are a seeded random
+    rotation of the unit sphere (no training pass — deterministic across
+    cluster sizes); assignment is one matmul per batch; candidate scoring
+    happens inside ONE groupby on the cell id. Recall < 1 by design,
+    exact-precision within probed cells. At 100 TB, nlist scales with
+    corpus size so cells stay worker-sized; a trained-centroid variant
+    would add one k-means pass over a sample.
+    """
+    qids = sorted(queries)
+    qmat = _normalize(np.vstack([np.asarray(queries[q], dtype="d")
+                                 for q in qids]))
+    dim = qmat.shape[1]
+    rng = np.random.default_rng(seed)
+    centroids = _normalize(rng.normal(size=(nlist, dim)))
+    # cells each query probes
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    wanted: dict[int, list[int]] = {}
+    for qi, cells in zip(qids, probes):
+        for c in cells:
+            wanted.setdefault(int(c), []).append(qi)
+    qvec_by_id = {qid: qmat[i] for i, qid in enumerate(qids)}
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(_embed_matrix(batch["embedding"]))
+        cell = np.argmax(vecs @ centroids.T, axis=1)
+        keep = np.isin(cell, list(wanted))
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy()[keep],
+            "cell": cell[keep],
+            "embedding": [v for v, m in zip(batch["embedding"], keep) if m],
+        })
+
+    def score_cell(group: pd.DataFrame) -> pd.DataFrame:
+        cell = int(group["cell"].iloc[0])
+        vecs = _normalize(_embed_matrix(group["embedding"]))
+        ids = group["vec_id"].to_numpy()
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        for qid in wanted.get(cell, []):
+            sims = vecs @ qvec_by_id[qid]
+            kk = min(k, len(ids))
+            top = np.argsort(-sims)[:kk]
+            for t in top:
+                out["query_id"].append(qid)
+                out["vec_id"].append(int(ids[t]))
+                out["sim"].append(round(float(sims[t]), 6))
+        return pd.DataFrame(out)
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        top = group.nlargest(k, ["sim", "vec_id"])
+        top = top.sort_values(["sim", "vec_id"], ascending=[False, True])
+        return top.iloc[:k].copy()
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(score_cell, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(global_topk, batch_format="pandas")
     )
 
 

@@ -58,15 +58,16 @@ class DomainPipeline:
         self.add_noise = add_noise
         self.max_buckets = max_buckets
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        domain = group["domain"].iloc[0]
+    def _domain_rows(self, domain, group: pd.DataFrame) -> list[dict]:
+        from matrixprofile_ray.stages.gapfill import assemble_series_row
+
         # merge the raw partials (multiple rows per bucket across batches)
         raw = (
             group.groupby("bucket_ts", sort=True)
             .agg(_AGGS)
             .reset_index()
         )
-        out = []
+        rows = []
         prev_tier, prev = "raw", raw
         for tier in ("raw", "1h", "1d", "7d"):
             if TIERS[tier] < TIERS[prev_tier]:
@@ -84,18 +85,40 @@ class DomainPipeline:
                 prev_tier, prev = tier, buckets
             if tier not in self.tiers:
                 continue
-            g = buckets.copy()
-            g["domain"] = domain
-            out.append(
-                assemble_series(
-                    g,
-                    TIERS[tier],
-                    tier,
-                    value_col=self.value_col,
-                    add_noise=self.add_noise,
-                    max_buckets=self.max_buckets,
-                )
-            )
-        if not out:
+            rows.append(assemble_series_row(
+                domain,
+                buckets["bucket_ts"].to_numpy(dtype=np.int64),
+                buckets[self.value_col].to_numpy(dtype=np.float64),
+                TIERS[tier],
+                tier,
+                add_noise=self.add_noise,
+                max_buckets=self.max_buckets,
+            ))
+        return rows
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        rows = self._domain_rows(group["domain"].iloc[0], group)
+        if not rows:
             return pd.DataFrame()
-        return pd.concat(out, ignore_index=True)
+        return pd.DataFrame(rows)
+
+    def process_partition(self, part: pd.DataFrame) -> pd.DataFrame:
+        """All domains of one hash partition in ONE call (see
+        util.partitioned_group_map): avoids Ray's per-group overhead and
+        builds a single output frame per partition instead of one-row
+        frames per (domain, tier)."""
+        rows: list[dict] = []
+        for domain, group in part.groupby("domain", sort=False):
+            rows.extend(self._domain_rows(domain, group))
+        if not rows:
+            return pd.DataFrame({
+                "domain": pd.Series(dtype="object"),
+                "tier": pd.Series(dtype="object"),
+                "start_ts": pd.Series(dtype="int64"),
+                "bucket_us": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "truncated": pd.Series(dtype="bool"),
+                "values": pd.Series(dtype="object"),
+            })
+        return pd.DataFrame(rows)

@@ -174,6 +174,31 @@ class TestAnnKernels:
         assert set(out.nlargest(5, "sim")["vec_id"]) == top
 
 
+class TestIvf:
+    def test_ivf_recall_vs_brute_force(self, ray_session):
+        """Probing all cells ⇒ recall 1.0 (exact); fewer probes ⇒ subset of
+        the exact top-k with exact sims for what it returns."""
+        import pandas as pd
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.ann import brute_force_topk, ivf_topk
+
+        rng = np.random.default_rng(9)
+        vecs = rng.normal(size=(300, 16)).astype("f")
+        ds = rd.from_pandas(pd.DataFrame({
+            "vec_id": np.arange(300), "embedding": list(vecs),
+        }))
+        q = {0: vecs[0].astype("d")}
+        exact = brute_force_topk(ds, q, k=10).to_pandas()
+        full = ivf_topk(ds, q, k=10, nlist=8, nprobe=8).to_pandas()
+        assert set(full["vec_id"]) == set(exact["vec_id"])
+        part = ivf_topk(ds, q, k=10, nlist=8, nprobe=2).to_pandas()
+        exact_sims = dict(zip(exact["vec_id"], exact["sim"]))
+        for _, r in part.iterrows():
+            if r["vec_id"] in exact_sims:
+                assert r["sim"] == exact_sims[r["vec_id"]]
+
+
 class TestMultimodal:
     def test_fake_media_schema(self):
         media = attach_fake_media(_docs(["hello", "world here"]))

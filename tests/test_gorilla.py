@@ -81,3 +81,61 @@ class TestCompressionRatio:
         enc_t = timestamps_encode(ts)
         raw = 16 * len(values)
         assert (len(enc_v) + len(enc_t)) < raw / 2
+
+
+class TestNativeParity:
+    """The C codec must produce byte-identical streams to the Python
+    reference implementation (the Python loop defines the format)."""
+
+    def _python_only(self, monkeypatch):
+        from matrixprofile_ray.core import _native
+
+        monkeypatch.setattr(_native, "native_gorilla_encode", lambda v: None)
+        monkeypatch.setattr(_native, "native_gorilla_decode", lambda d: None)
+        monkeypatch.setattr(_native, "native_ts_encode", lambda v: None)
+        monkeypatch.setattr(_native, "native_ts_decode", lambda d: None)
+
+    def test_float_stream_bit_exact(self, monkeypatch):
+        from matrixprofile_ray.core import _native
+
+        if not _native.available():
+            pytest.skip("no C compiler")
+        rng = np.random.default_rng(17)
+        cases = [
+            rng.normal(size=5000),
+            np.zeros(777),
+            np.repeat(rng.normal(size=10), 100),
+            np.array([]),
+            np.array([np.nan, np.inf, -np.inf, 0.0, -0.0, 1e-308, 1e308]),
+            rng.integers(0, 5, 2000).astype("d"),
+        ]
+        c_streams = [gorilla_encode_floats(v) for v in cases]
+        self._python_only(monkeypatch)
+        py_streams = [gorilla_encode_floats(v) for v in cases]
+        assert c_streams == py_streams
+        for s, v in zip(py_streams, cases):
+            np.testing.assert_array_equal(
+                gorilla_decode_floats(s).view("<u8"),
+                np.asarray(v, "<f8").view("<u8"),
+            )
+
+    def test_ts_stream_bit_exact(self, monkeypatch):
+        from matrixprofile_ray.core import _native
+
+        if not _native.available():
+            pytest.skip("no C compiler")
+        rng = np.random.default_rng(18)
+        cases = [
+            np.cumsum(rng.integers(0, 10**9, 3000).astype(np.int64)),
+            np.arange(0, 10**6, 3600, dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([5], dtype=np.int64),
+            np.array([5, -3], dtype=np.int64),
+            np.cumsum(rng.integers(-2000, 2000, 500).astype(np.int64)),
+        ]
+        c_streams = [timestamps_encode(t) for t in cases]
+        self._python_only(monkeypatch)
+        py_streams = [timestamps_encode(t) for t in cases]
+        assert c_streams == py_streams
+        for s, t in zip(py_streams, cases):
+            np.testing.assert_array_equal(timestamps_decode(s), t)
