@@ -17,6 +17,15 @@ Tie-breaking matches the reference's sequential update order exactly
 (diagonals ascending; within one diagonal the "col" update at offset o-d
 precedes the "row" update at offset o), which the tiny-fixture index arrays
 (tests/test_mpx.py:24-105) are sensitive to.
+
+Intentional divergence vs reference cympx.pyx:96-101: the reference clamps
+the col-role candidate correlation to 1.0 INSIDE the sweep, so on degenerate
+near-constant windows (numerical corr > 1) its index can pick whichever
+candidate hit 1.0 first; here raw correlations merge unclamped (clamp once
+at the end), so the index picks the numerically largest. Distances are
+identical after the final clamp; only the neighbor INDEX on corr>1.0
+degeneracies can differ. Chosen deliberately: the merge stays branch-free
+and the unclamped argmax is at least as meaningful.
 """
 
 from __future__ import annotations
