@@ -123,13 +123,18 @@ def flagship(
         # materialize BEFORE repartitioning: chaining the repartition
         # AllToAll onto the hash-groupby plan triples the stage's wall time
         # (measured 24s -> 85s at 1M pages); then split for the actor pool
-        # (one actor task per block). Block size is a real lever: Ray pays
-        # ~ms-scale machinery per task, so 8-row blocks cost ~25 s per
-        # stage at 32k rows (measured); 32 rows balances the pool against
-        # task-count overhead (91.7 s / 78.3 s / 86.9 s at 8/32/64).
+        # (one actor task per block). Block size is a real lever BOTH ways:
+        # Ray pays ~ms-scale machinery per task (8-row blocks cost ~25 s
+        # per stage at 32k rows), but too-few blocks starve the pool (32-row
+        # blocks at 800 rows → 25 tasks for 30 actors: 15 s → 24 s
+        # regression). Size adaptively: ≥8 tasks per actor, 4..32 rows.
         series = series.materialize()
+        n_rows = series.count()
+        rows_per_block = max(
+            4, min(32, n_rows // (max(1, int(profile_concurrency)) * 8))
+        )
         profile_input = series.repartition(
-            target_num_rows_per_block=32
+            target_num_rows_per_block=rows_per_block
         ).materialize()
 
     # gorilla encode is C-speed per value: run it on the BIG shuffle-output

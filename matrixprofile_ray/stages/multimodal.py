@@ -101,12 +101,14 @@ def frame_sample(batch: pd.DataFrame, every_ms: int = 250) -> pd.DataFrame:
     """Video rows → one output row per sampled frame timestamp (flat_map
     shape). Frame payload decode is stubbed; the row explosion + metadata
     math is the real plumbing."""
-    rows = {"media_id": [], "frame_ts_ms": [], "frame_idx": []}
-    for _, r in batch.iterrows():
-        if r["duration_ms"] <= 0:
-            continue
-        ts = np.arange(0, r["duration_ms"], every_ms)
-        rows["media_id"].extend([r["media_id"]] * len(ts))
-        rows["frame_ts_ms"].extend(ts.tolist())
-        rows["frame_idx"].extend(range(len(ts)))
-    return pd.DataFrame(rows)
+    dur = batch["duration_ms"].to_numpy()
+    media = batch["media_id"].to_numpy()
+    counts = np.where(dur > 0, -(-dur // every_ms), 0).astype(np.int64)
+    frame_idx = np.concatenate(
+        [np.arange(c) for c in counts]
+    ) if counts.sum() else np.empty(0, dtype=np.int64)
+    return pd.DataFrame({
+        "media_id": np.repeat(media, counts),
+        "frame_ts_ms": frame_idx * every_ms,
+        "frame_idx": frame_idx,
+    })
