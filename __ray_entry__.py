@@ -663,6 +663,18 @@ def q_simhash_groups(sf_dir: str):
     return df
 
 
+def q_simhash_neardup(sf_dir: str):
+    """Hamming≤12 SimHash near-dup pairs via pigeonhole banding (exact
+    within the Hamming radius; see stages/dedup.simhash_neardup)."""
+    from matrixprofile_ray.stages.dedup import simhash_neardup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = simhash_neardup(ds, k=12).to_pandas()
+    for c in ("a", "b", "hamming"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Word-3-gram Jaccard of all docs vs a broadcast 25-doc reference set."""
     import ray
@@ -997,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "minhash_pairs": q_minhash_pairs,
         "simhash_groups": q_simhash_groups,
+        "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
