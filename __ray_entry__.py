@@ -921,6 +921,27 @@ def q_percentile_events(sf_dir: str):
     return df.sort_values("event_type").reset_index(drop=True)
 
 
+def q_events_topk_per_type(sf_dir: str):
+    """Top-3 events by value per event_type (grouped top-k — no global
+    sort; ties broken by event_id for determinism)."""
+    from matrixprofile_ray.stages.relational import grouped_topk
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value", "event_id"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["value"] = np.round(batch["value"], 6)
+        return batch
+
+    ds = ds.map_batches(prep, batch_format="pandas")
+    df = grouped_topk(
+        ds, "event_type", "value", k=3, extra_cols=("event_id",)
+    ).to_pandas()
+    for c in ("event_id", "rank"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["event_type", "rank"]).reset_index(drop=True)
+
+
 def q_token_histogram(sf_dir: str):
     """Global top-20 tokens: in-batch partial counts → one groupby-sum →
     tiny sort+limit (ties break by token asc for determinism)."""
@@ -1024,6 +1045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_segment_join": q_orders_segment_join,
         "percentile_events": q_percentile_events,
         "token_histogram": q_token_histogram,
+        "events_topk_per_type": q_events_topk_per_type,
     }
 
 
@@ -1262,6 +1284,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.9), 6) AS p90,
                    ROUND(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY 1
+        """,
+        "events_topk_per_type": """
+            WITH r AS (
+                SELECT event_type, ROUND(value, 6) AS value, event_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY ROUND(value, 6) DESC, event_id ASC
+                       ) - 1 AS rank
+                FROM events
+            )
+            SELECT event_type, value, event_id, rank
+            FROM r WHERE rank < 3
         """,
         "token_histogram": """
             WITH toks AS (

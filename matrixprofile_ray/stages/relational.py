@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["sessionize", "asof_join", "group_percentiles"]
+__all__ = ["sessionize", "asof_join", "group_percentiles", "grouped_topk"]
 
 
 def _ts_int(col) -> np.ndarray:
@@ -135,6 +135,32 @@ def asof_join(left_ds, right_ds, key: str, left_ts: str, right_ts: str,
     from matrixprofile_ray.util import partitioned_group_map
 
     return partitioned_group_map(tagged, ["k"], match_partition)
+
+
+def grouped_topk(ds, key_col: str, value_col: str, k: int = 3,
+                 extra_cols: tuple = ()):
+    """Top-k rows per key by value (ties break by the extra columns then
+    value descending — deterministic). One partition-cardinality shuffle;
+    the per-partition fold is one pandas sort + groupby.head, so a key's
+    candidate set never exceeds its own rows and the global sort is
+    avoided entirely (contrast: Dataset.sort is an all-to-all over
+    everything)."""
+
+    cols = [key_col, value_col, *extra_cols]
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[cols].sort_values(
+            [key_col, value_col, *extra_cols],
+            ascending=[True, False] + [True] * len(extra_cols),
+            kind="stable",
+        )
+        top = part.groupby(key_col, sort=False).head(k).copy()
+        top["rank"] = top.groupby(key_col, sort=False).cumcount()
+        return top
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    return partitioned_group_map(ds, [key_col], fold)
 
 
 def group_percentiles(ds, key_col: str, value_col: str,

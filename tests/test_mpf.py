@@ -197,3 +197,45 @@ class TestWireCompat:
         np.testing.assert_allclose(got["mp"], [1.5, 2.0, 0.25, 3.0, 1.0])
         np.testing.assert_array_equal(got["pi"], [2, 0, -1, 1, 0])
         np.testing.assert_allclose(got["data"]["ts"], np.arange(8.0))
+
+
+class TestMpfProperty:
+    def test_random_profiles_round_trip(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            n=st.integers(8, 200),
+            seed=st.integers(0, 10**6),
+            with_extras=st.booleans(),
+        )
+        def run(n, seed, with_extras):
+            rng = np.random.default_rng(seed)
+            mp = rng.uniform(0, 10, size=n)
+            pi = rng.integers(-1, n, size=n)
+            profile = {
+                "class": "MatrixProfile", "algorithm": "mpx",
+                "metric": "euclidean", "sample_pct": 1.0, "w": 8,
+                "ez": 2, "join": False,
+                "mp": mp, "pi": pi,
+                "lmp": None, "lpi": None, "rmp": None, "rpi": None,
+                "data": {"ts": rng.normal(size=n + 7), "query": None},
+            }
+            if with_extras:
+                profile["discords"] = rng.integers(0, n, size=3)
+                profile["av"] = rng.uniform(size=n)
+                profile["av_type"] = "custom"
+            got = from_mpf(to_mpf(profile))
+            np.testing.assert_array_equal(got["mp"], mp)
+            np.testing.assert_array_equal(got["pi"], pi)
+            assert got["w"] == 8 and got["ez"] == 2
+            np.testing.assert_array_equal(
+                got["data"]["ts"], profile["data"]["ts"]
+            )
+            if with_extras:
+                np.testing.assert_array_equal(
+                    got["discords"], profile["discords"]
+                )
+                np.testing.assert_array_equal(got["av"], profile["av"])
+
+        run()
