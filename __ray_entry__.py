@@ -682,8 +682,12 @@ def q_ngram_jaccard(sf_dir: str):
     from matrixprofile_ray.stages.dedup import ngram_jaccard
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from matrixprofile_ray.stages.dedup import _ngram_hashes
+
     head = ds.take(25)
-    other = {r["doc_id"]: r["text"] for r in head}
+    # pre-hash the broadcast side ONCE (per-batch re-hashing of the 25
+    # reference docs was per-task waste)
+    other = {r["doc_id"]: _ngram_hashes(r["text"], 3) for r in head}
     ref = ray.put(other)
 
     def run(batch):

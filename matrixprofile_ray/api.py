@@ -103,9 +103,17 @@ def compute(ts, windows=None, query=None, sample_pct=1.0, threshold=0.98,
 
 
 def analyze(ts, query=None, windows=None, sample_pct=1.0, threshold=0.98,
-            n_jobs=1, preprocessing_kwargs=None, k_motifs=3, k_discords=3):
+            n_jobs=1, preprocessing_kwargs=None, k_motifs=3, k_discords=3,
+            with_visuals: bool = False):
     """Reference analyze.py: compute then annotate with motifs + discords
-    (and regimes for single-window exact profiles)."""
+    (and regimes for single-window exact profiles).
+
+    ``with_visuals=True`` additionally returns the visualization panels
+    (reference analyze returns (profile, figures); here figures require
+    matplotlib, otherwise ASCII-renderable panels — see visualize.py), as
+    ``(profile, panels)``. Default returns just the profile dict for
+    backward compatibility with the engine's own callers.
+    """
     profile = compute(
         ts,
         windows=windows,
@@ -124,6 +132,10 @@ def analyze(ts, query=None, windows=None, sample_pct=1.0, threshold=0.98,
             profile["pmp"], profile["windows"], metric=profile["metric"],
             k=k_discords,
         )
+        if with_visuals:
+            from matrixprofile_ray.visualize import visualize as _viz
+
+            return profile, _viz(profile)
         return profile
 
     w = profile["w"]
@@ -139,4 +151,8 @@ def analyze(ts, query=None, windows=None, sample_pct=1.0, threshold=0.98,
         cac = fluss(profile["pi"], w)
         profile["cac"] = cac
         profile["regimes"] = extract_regimes(cac, w, 3)
+    if with_visuals:
+        from matrixprofile_ray.visualize import visualize as _viz
+
+        return profile, _viz(profile)
     return profile

@@ -567,12 +567,17 @@ def _ngram_hashes(text: str, n: int = 3) -> np.ndarray:
 def ngram_jaccard(batch: pa.Table, other: dict[int, str], n: int = 3) -> pa.Table:
     """Exact word-n-gram Jaccard of each row against a broadcast doc set.
 
-    ``other`` is {doc_id: text} broadcast via ray.put — the
-    small-side-lookup pattern (no shuffle join). Set algebra runs on
-    sorted uint64 hash arrays (np.intersect1d), not per-row Python tuple
-    sets (round 1 looped ``.as_py()`` tuple sets per row × per ref doc).
+    ``other`` is {doc_id: text} (or pre-hashed {doc_id: uint64 array})
+    broadcast via ray.put — the small-side-lookup pattern (no shuffle
+    join). Set algebra runs on sorted uint64 hash arrays
+    (np.intersect1d), not per-row Python tuple sets (round 1 looped
+    ``.as_py()`` tuple sets per row × per ref doc). Pass pre-hashed
+    arrays to avoid re-hashing the broadcast side per batch.
     """
-    other_arrays = {oid: _ngram_hashes(t, n) for oid, t in other.items()}
+    other_arrays = {
+        oid: (t if isinstance(t, np.ndarray) else _ngram_hashes(t, n))
+        for oid, t in other.items()
+    }
     texts = batch["text"].to_pylist()
     ids = batch["doc_id"].to_pylist()
     rows = {"a": [], "b": [], "jaccard": []}

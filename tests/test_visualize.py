@@ -63,3 +63,16 @@ class TestVisualize:
     def test_unsupported_raises(self):
         with pytest.raises(ValueError):
             visualize({"stats": {}})
+
+    def test_analyze_with_visuals(self):
+        from matrixprofile_ray.api import analyze
+
+        rng = np.random.default_rng(4)
+        ts = rng.uniform(size=300)
+        profile, panels = analyze(ts, windows=16, with_visuals=True)
+        assert "motifs" in profile
+        titles = [p.title for p in panels]
+        assert "matrix profile" in titles
+        # default return shape unchanged (profile dict only)
+        alone = analyze(ts, windows=16)
+        assert isinstance(alone, dict)
