@@ -103,10 +103,16 @@ def _bucket_ids(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, nbits: int = 8,
-             dim: int | None = None):
+             dim: int | None = None, n_probes: int = 1):
     """LSH-bucketed ANN: only vectors sharing a query's sign-pattern bucket
     are scored. One groupby on the int bucket key; recall < 1 by design
     (approximate), precision exact within candidates.
+
+    ``n_probes`` > 1 enables multi-probe: each query additionally probes
+    the buckets whose sign pattern differs by the n_probes-1 LEAST
+    CONFIDENT hyperplane decisions (smallest |projection| — the classic
+    multi-probe ordering), trading candidate volume for recall without
+    more tables or a bigger shuffle.
     """
     qids = sorted(queries)
     qmat = _normalize(np.vstack([np.asarray(queries[q], dtype="d") for q in qids]))
@@ -115,8 +121,16 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, nbits: int = 8,
     planes = _hyperplanes(dim, nbits)
     qbuckets = _bucket_ids(qmat, planes)
     wanted = {}
-    for qid, qb in zip(qids, qbuckets):
+    proj = qmat @ planes  # (nq, nbits): signed projections
+    for row, (qid, qb) in enumerate(zip(qids, qbuckets)):
         wanted.setdefault(int(qb), []).append(qid)
+        if n_probes > 1:
+            # flip the least-confident bits one at a time
+            order = np.argsort(np.abs(proj[row]))[: n_probes - 1]
+            for bit in order:
+                wanted.setdefault(
+                    int(qb) ^ (1 << int(bit)), []
+                ).append(qid)
     qvec_by_id = {qid: qmat[i] for i, qid in enumerate(qids)}
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
@@ -144,10 +158,22 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, nbits: int = 8,
                 out["sim"].append(round(float(sims[t]), 6))
         return pd.DataFrame(out)
 
-    return (
+    scored = (
         ds.map_batches(bucketize, batch_format="pandas")
         .groupby("bucket")
         .map_groups(score_bucket, batch_format="pandas")
+    )
+    if n_probes <= 1:
+        return scored
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        top = group.nlargest(k, ["sim", "vec_id"])
+        return top.sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).iloc[:k].copy()
+
+    return scored.groupby("query_id").map_groups(
+        global_topk, batch_format="pandas"
     )
 
 

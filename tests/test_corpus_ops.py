@@ -199,6 +199,33 @@ class TestIvf:
                 assert r["sim"] == exact_sims[r["vec_id"]]
 
 
+class TestMultiProbeLsh:
+    def test_recall_improves_with_probes(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.ann import brute_force_topk, lsh_topk
+
+        rng = np.random.default_rng(12)
+        vecs = rng.normal(size=(400, 16)).astype("f")
+        ds = rd.from_pandas(pd.DataFrame({
+            "vec_id": np.arange(400), "embedding": list(vecs),
+        }))
+        q = {0: vecs[0].astype("d")}
+        exact = set(brute_force_topk(ds, q, k=10).to_pandas()["vec_id"])
+
+        def recall(n_probes):
+            got = lsh_topk(ds, q, k=10, nbits=4,
+                           n_probes=n_probes).to_pandas()
+            return len(set(got["vec_id"]) & exact) / len(exact)
+
+        # 4 bits / 16 buckets: probing the 7 least-confident flips covers
+        # half the hash space — recall must improve materially
+        r1, r8 = recall(1), recall(8)
+        assert r8 >= r1
+        assert r8 >= 0.5
+
+
 class TestMultimodal:
     def test_fake_media_schema(self):
         media = attach_fake_media(_docs(["hello", "world here"]))
