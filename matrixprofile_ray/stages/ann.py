@@ -18,6 +18,7 @@ import pyarrow as pa
 
 __all__ = [
     "BruteForceTopK", "brute_force_topk", "lsh_topk", "ivf_topk",
+    "train_centroids",
     "near_duplicates",
 ]
 
@@ -177,25 +178,53 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, nbits: int = 8,
     )
 
 
+def train_centroids(ds, nlist: int, sample_rows: int = 4096,
+                    n_iter: int = 10, seed: int = 23) -> np.ndarray:
+    """Spherical k-means on a driver-side sample → (nlist, dim) unit
+    centroids. Deterministic (seeded init from the sample, Lloyd
+    iterations in numpy); the sample is a LIMIT read — at 100 TB replace
+    with a random_sample() pass, the iteration cost is unchanged
+    (sample-sized, not corpus-sized)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    vecs = _normalize(_embed_matrix(sample["embedding"]))
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(vecs), size=min(nlist, len(vecs)), replace=False)
+    centroids = vecs[np.sort(init)]
+    for _ in range(n_iter):
+        assign = np.argmax(vecs @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = vecs[assign == c]
+            if len(members):
+                centroids[c] = members.sum(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
 def ivf_topk(ds, queries: dict[int, np.ndarray], k: int = 10,
-             nlist: int = 16, nprobe: int = 4, seed: int = 23):
+             nlist: int = 16, nprobe: int = 4, seed: int = 23,
+             centroids: np.ndarray | None = None):
     """IVF-style ANN: coarse-quantize vectors into ``nlist`` cells, score a
     query only against the ``nprobe`` cells nearest to it.
 
-    The scale path next to ``lsh_topk``: centroids are a seeded random
-    rotation of the unit sphere (no training pass — deterministic across
-    cluster sizes); assignment is one matmul per batch; candidate scoring
-    happens inside ONE groupby on the cell id. Recall < 1 by design,
-    exact-precision within probed cells. At 100 TB, nlist scales with
-    corpus size so cells stay worker-sized; a trained-centroid variant
-    would add one k-means pass over a sample.
+    The scale path next to ``lsh_topk``: by default centroids are a seeded
+    random rotation of the unit sphere (no training pass — deterministic
+    across cluster sizes); pass ``centroids=train_centroids(ds, nlist)``
+    for the trained variant (better cell balance on clustered data).
+    Assignment is one matmul per batch; candidate scoring happens inside
+    ONE groupby on the cell id. Recall < 1 by design, exact-precision
+    within probed cells. At 100 TB, nlist scales with corpus size so
+    cells stay worker-sized.
     """
     qids = sorted(queries)
     qmat = _normalize(np.vstack([np.asarray(queries[q], dtype="d")
                                  for q in qids]))
     dim = qmat.shape[1]
-    rng = np.random.default_rng(seed)
-    centroids = _normalize(rng.normal(size=(nlist, dim)))
+    if centroids is None:
+        rng = np.random.default_rng(seed)
+        centroids = _normalize(rng.normal(size=(nlist, dim)))
+    else:
+        centroids = _normalize(np.asarray(centroids, dtype="d"))
+        nlist = len(centroids)
     # cells each query probes
     probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
     wanted: dict[int, list[int]] = {}

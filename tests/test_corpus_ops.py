@@ -345,3 +345,79 @@ class TestRayIntegration:
         out = exact_dedup(ds).to_pandas().sort_values("doc_id")
         assert out["doc_id"].tolist() == [1, 2]
         assert out["dup_count"].tolist() == [3, 1]
+
+
+class TestTrainedIvf:
+    def test_trained_centroids_full_probe_exact(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.ann import (
+            brute_force_topk,
+            ivf_topk,
+            train_centroids,
+        )
+
+        rng = np.random.default_rng(21)
+        # clustered data: 4 gaussian blobs
+        centers = rng.normal(scale=5, size=(4, 8))
+        vecs = np.vstack([
+            c + rng.normal(scale=0.3, size=(100, 8)) for c in centers
+        ]).astype("f")
+        ds = rd.from_pandas(pd.DataFrame({
+            "vec_id": np.arange(len(vecs)), "embedding": list(vecs),
+        }))
+        cents = train_centroids(ds, nlist=4, sample_rows=400)
+        assert cents.shape == (4, 8)
+        # determinism
+        np.testing.assert_array_equal(
+            cents, train_centroids(ds, nlist=4, sample_rows=400)
+        )
+        q = {0: vecs[0].astype("d")}
+        exact = set(brute_force_topk(ds, q, k=10).to_pandas()["vec_id"])
+        got = ivf_topk(ds, q, k=10, nprobe=4, centroids=cents).to_pandas()
+        assert set(got["vec_id"]) == exact  # all cells probed ⇒ exact
+        # single probe on well-separated blobs: the query's own blob cell
+        # holds all its true neighbors
+        got1 = ivf_topk(ds, q, k=10, nprobe=1, centroids=cents).to_pandas()
+        assert len(set(got1["vec_id"]) & exact) >= 9
+
+
+class TestMinhashEstimator:
+    def test_signature_jaccard_tracks_true_jaccard(self):
+        """With an exact universal hash family (round-2 fix), the
+        signature-equality estimate must track the true shingle Jaccard
+        within the binomial error of 64 permutations (~3 sigma)."""
+        import pyarrow as pa
+
+        from matrixprofile_ray.stages.dedup import (
+            _shingle_hashes,
+            minhash_signatures,
+        )
+
+        rng = np.random.default_rng(33)
+        words = ["w%03d" % i for i in range(200)]
+        base = " ".join(rng.choice(words, size=300))
+        for frac in (0.1, 0.5, 0.9):
+            toks = base.split()
+            n_swap = int(len(toks) * frac)
+            idx = rng.choice(len(toks), size=n_swap, replace=False)
+            mut = list(toks)
+            for i in idx:
+                mut[i] = "x%03d" % rng.integers(0, 1000)
+            other = " ".join(mut)
+            sa = set(_shingle_hashes(base, 5).tolist())
+            sb = set(_shingle_hashes(other, 5).tolist())
+            true_j = len(sa & sb) / len(sa | sb)
+            tbl = pa.table({
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([base, other], pa.string()),
+            })
+            sigs = minhash_signatures(tbl, num_perm=64).to_pandas()
+            s0 = np.array(sigs.loc[0, "sig"])
+            s1 = np.array(sigs.loc[1, "sig"])
+            est = float((s0 == s1).mean())
+            sigma = np.sqrt(true_j * (1 - true_j) / 64) + 1e-9
+            assert abs(est - true_j) < max(3.5 * sigma, 0.06), (
+                f"frac={frac}: est={est:.3f} true={true_j:.3f}"
+            )
