@@ -63,15 +63,33 @@ def bucket_tiers(pages_ds, tiers=("raw", "1h", "1d", "7d")) -> dict:
 
 def series_for_tier(bucket_ds, tier: str, value_col: str = "count",
                     concurrency=None):
-    """Bucket table → gap-filled dense series (one row per domain)."""
-    assembler = SeriesAssembler(TIERS[tier], tier, value_col=value_col)
+    """Bucket table → gap-filled dense series (one row per domain).
 
-    def assemble_group(group):
-        return assembler(group)
+    Partition-level assembly (domain count is data-sized; per-key
+    map_groups pays Ray machinery per domain)."""
+    import numpy as np
+    import pandas as pd
 
-    return bucket_ds.groupby("domain").map_groups(
-        assemble_group, batch_format="pandas"
-    )
+    from matrixprofile_ray.stages.gapfill import assemble_series_row
+    from matrixprofile_ray.util import partitioned_group_map
+
+    bucket_us = TIERS[tier]
+
+    def assemble_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["domain", "bucket_ts"], kind="stable")
+        rows = [
+            assemble_series_row(
+                d,
+                g["bucket_ts"].to_numpy(dtype=np.int64),
+                g[value_col].to_numpy(dtype=np.float64),
+                bucket_us,
+                tier,
+            )
+            for d, g in part.groupby("domain", sort=False)
+        ]
+        return pd.DataFrame(rows)
+
+    return partitioned_group_map(bucket_ds, ["domain"], assemble_partition)
 
 
 def series_all_tiers(pages_ds, tiers=("raw", "1h", "1d", "7d"),

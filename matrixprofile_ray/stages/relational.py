@@ -167,13 +167,18 @@ def group_percentiles(ds, key_col: str, value_col: str,
                       qs=(0.5, 0.9, 0.99)):
     """Exact per-key percentiles (linear interpolation, = quantile_cont)."""
 
-    def pct(group: pd.DataFrame) -> pd.DataFrame:
-        vals = group[value_col].to_numpy(dtype="d")
-        out = {key_col: [group[key_col].iloc[0]]}
-        for q in qs:
-            out[f"p{int(q * 100)}"] = [
-                round(float(np.percentile(vals, q * 100)), 6)
-            ]
-        return pd.DataFrame(out)
+    def pct_partition(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in part.groupby(key_col, sort=False):
+            vals = g[value_col].to_numpy(dtype="d")
+            row = {key_col: k}
+            for q in qs:
+                row[f"p{int(q * 100)}"] = round(
+                    float(np.percentile(vals, q * 100)), 6
+                )
+            rows.append(row)
+        return pd.DataFrame(rows)
 
-    return ds.groupby(key_col).map_groups(pct, batch_format="pandas")
+    from matrixprofile_ray.util import partitioned_group_map
+
+    return partitioned_group_map(ds, [key_col], pct_partition)
