@@ -957,6 +957,54 @@ def q_token_histogram(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q_streaming_stampi(sf_dir: str):
+    """Streaming per-key STAMPI stage: feed the 1h rolled series in 4
+    ordered micro-batches through the sharded stateful actors; the
+    snapshot must match a batch STOMP recompute (asserted per key)."""
+    from matrixprofile_ray.state.streaming import StreamingProfiler
+    import matrixprofile_ray.core as core
+
+    series = _series_1h(sf_dir).to_pandas().sort_values("event_type")
+    w = 24
+    prof = StreamingProfiler(window=w, num_shards=2)
+    try:
+        chunks = 4
+        length = {r["event_type"]: len(r["values"])
+                  for _, r in series.iterrows()}
+        for ci in range(chunks):
+            frames = []
+            for _, r in series.iterrows():
+                v = np.asarray(r["values"], dtype="d")
+                lo = ci * len(v) // chunks
+                hi = (ci + 1) * len(v) // chunks
+                frames.append(pd.DataFrame({
+                    "key": r["event_type"], "value": v[lo:hi],
+                    "ts": np.arange(lo, hi, dtype=np.int64),
+                }))
+            prof.update(pd.concat(frames), ts_col="ts")
+        snap = prof.snapshot()
+        rows = []
+        for _, s in snap.iterrows():
+            values = np.asarray(
+                series.loc[series["event_type"] == s["key"], "values"].iloc[0],
+                dtype="d",
+            )
+            batch = core.stomp(values, w)
+            scale = max(float(np.max(batch["mp"])), 1e-12)
+            err = float(np.max(np.abs(
+                np.asarray(s["mp"]) - batch["mp"]
+            ))) / scale
+            rows.append({
+                "event_type": s["key"],
+                "n": int(s["n"]),
+                "mp_len": len(s["mp"]),
+                "matches_batch": bool(err < 1e-3),
+            })
+        return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    finally:
+        prof.shutdown()
+
+
 def q_giant_mpx(sf_dir: str):
     """Intra-series diagonal fan-out: ONE long series' matrix profile split
     across Ray tasks by cell-balanced diagonal ranges and strict-> merged
@@ -1043,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "flagship_pages_1d": q_flagship_pages_1d,
         "giant_mpx": q_giant_mpx,
+        "streaming_stampi": q_streaming_stampi,
         "sessionize_users": q_sessionize_users,
         "asof_join": q_asof_join,
         "moving_avg_1h": q_moving_avg_1h,
