@@ -894,15 +894,24 @@ def q_orders_segment_join(sf_dir: str):
     def partial(batch):
         import pyarrow as pa
 
-        df = batch.to_pandas().groupby("c_mktsegment", as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        # Sum in exact integer cents so the parallel partial-sum order
+        # can't perturb the float result below ROUND's 6th decimal
+        # (float64 ULP at ~7.5e9 is ~1e-6; the oracle SQL mirrors this
+        # with SUM(CAST(round(x*100) AS HUGEINT))/100.0).
+        df = batch.to_pandas()
+        df["rev_cents"] = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(
+            np.int64
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        out = df.groupby("c_mktsegment", as_index=False).agg(
+            rev_cents=("rev_cents", "sum"), n_orders=("rev_cents", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
+        cents = int(group["rev_cents"].sum())
         return pd.DataFrame({
             "c_mktsegment": [group["c_mktsegment"].iloc[0]],
-            "revenue": [round(float(group["revenue"].sum()), 6)],
+            "revenue": [round(cents / 100.0, 6)],
             "n_orders": np.array([group["n_orders"].sum()], dtype="int64"),
         })
 
@@ -1326,7 +1335,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_segment_join": """
             SELECT c_mktsegment,
-                   ROUND(SUM(o_totalprice), 6) AS revenue,
+                   ROUND(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) / 100.0,
+                         6) AS revenue,
                    COUNT(*)::BIGINT AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1

@@ -109,12 +109,16 @@ static inline int64_t bw_finish(bw_t *w)
     return w->len;
 }
 
-typedef struct { const uint8_t *data; int64_t pos; } br_t;
+typedef struct { const uint8_t *data; int64_t pos; int64_t len; } br_t;
 
 static inline uint64_t br_read(br_t *r, int bits)
 {
     uint64_t out = 0;
     int remaining = bits;
+    if (r->pos + bits > r->len) {   /* truncated/corrupt payload: poison */
+        r->pos = r->len + bits;     /* caller detects pos > len and bails */
+        return 0;
+    }
     while (remaining) {
         int64_t byte_idx = r->pos >> 3;
         int bit_idx = (int)(r->pos & 7);
@@ -161,9 +165,9 @@ int64_t gorilla_encode_f(const uint64_t *bits, int64_t n, uint8_t *out)
     return bw_finish(&w);
 }
 
-int64_t gorilla_decode_f(const uint8_t *data, uint64_t *out)
+int64_t gorilla_decode_f(const uint8_t *data, int64_t data_len, uint64_t *out)
 {
-    br_t r = {data, 0};
+    br_t r = {data, 0, data_len * 8};
     int64_t n = (int64_t)br_read(&r, 32);
     if (n == 0) return 0;
     uint64_t prev = br_read(&r, 64);
@@ -181,7 +185,9 @@ int64_t gorilla_decode_f(const uint8_t *data, uint64_t *out)
         uint64_t x = br_read(&r, mbits) << (64 - lead - mbits);
         prev ^= x;
         out[i] = prev;
+        if (r.pos > r.len) return -1;
     }
+    if (r.pos > r.len) return -1;
     return n;
 }
 
@@ -220,12 +226,13 @@ static inline int64_t br_signed(br_t *r, int bits)
     return (int64_t)v;
 }
 
-int64_t ts_decode(const uint8_t *data, int64_t *out)
+int64_t ts_decode(const uint8_t *data, int64_t data_len, int64_t *out)
 {
-    br_t r = {data, 0};
+    br_t r = {data, 0, data_len * 8};
     int64_t n = (int64_t)br_read(&r, 32);
     if (n == 0) return 0;
     out[0] = br_signed(&r, 64);
+    if (r.pos > r.len) return -1;
     if (n == 1) return 1;
     int64_t delta = br_signed(&r, 64);
     out[1] = out[0] + delta;
@@ -240,7 +247,9 @@ int64_t ts_decode(const uint8_t *data, int64_t *out)
         }
         delta += dod;
         out[i] = out[i - 1] + delta;
+        if (r.pos > r.len) return -1;
     }
+    if (r.pos > r.len) return -1;
     return n;
 }
 """
@@ -254,7 +263,7 @@ def _build_dir() -> str:
 
 # versioned filename: the ABI changes (last_diag, gorilla codecs) mean a
 # stale cached .so from an older signature must never be dlopen'ed
-_SO_NAME = "_native_mpx_v3.so"
+_SO_NAME = "_native_mpx_v4.so"
 
 
 def _compile() -> str | None:
@@ -327,11 +336,11 @@ def _load():
     u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.gorilla_encode_f.argtypes = [u64p, i64, u8p]
     lib.gorilla_encode_f.restype = i64
-    lib.gorilla_decode_f.argtypes = [u8p, u64p]
+    lib.gorilla_decode_f.argtypes = [u8p, i64, u64p]
     lib.gorilla_decode_f.restype = i64
     lib.ts_encode.argtypes = [ip, i64, u8p]
     lib.ts_encode.restype = i64
-    lib.ts_decode.argtypes = [u8p, ip]
+    lib.ts_decode.argtypes = [u8p, i64, ip]
     lib.ts_decode.restype = i64
     _LIB = lib
     return _LIB
@@ -385,13 +394,22 @@ def native_gorilla_decode(data: bytes) -> np.ndarray | None:
     lib = _load()
     if not lib:
         return None
+    if len(data) < 4:
+        raise ValueError("truncated gorilla payload (no length header)")
     n = int.from_bytes(data[:4], "big")
+    # each value after the first costs >= 1 bit, so a valid payload has
+    # at least n bits — reject before allocating a bogus multi-GB buffer
+    if n > 8 * len(data):
+        raise ValueError(f"corrupt gorilla header: n={n} for {len(data)} bytes")
     out = np.empty(n, dtype="<u8")
     buf = np.frombuffer(data, dtype=np.uint8)
-    lib.gorilla_decode_f(
+    rc = lib.gorilla_decode_f(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(data)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
+    if rc < 0:
+        raise ValueError("truncated/corrupt gorilla payload")
     return out.view("<f8")
 
 
@@ -413,12 +431,19 @@ def native_ts_decode(data: bytes) -> np.ndarray | None:
     lib = _load()
     if not lib:
         return None
+    if len(data) < 4:
+        raise ValueError("truncated timestamp payload (no length header)")
     n = int.from_bytes(data[:4], "big")
+    if n > 8 * len(data):
+        raise ValueError(f"corrupt timestamp header: n={n} for {len(data)} bytes")
     out = np.empty(n, dtype=np.int64)
     buf = np.frombuffer(data, dtype=np.uint8)
-    lib.ts_decode(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _pi(out)
+    rc = lib.ts_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(data)), _pi(out)
     )
+    if rc < 0:
+        raise ValueError("truncated/corrupt timestamp payload")
     return out
 
 

@@ -158,6 +158,12 @@ def _parse_matrix(buf: bytes, int_type: bool):
             else:
                 data = np.frombuffer(val, dtype="<f8").copy()
     if data is None or len(data) < 1:
+        # Distinguish "field absent" (None) from "empty array serialized"
+        # (rows header present, zero data bytes) so degenerate profiles
+        # round-trip to an empty array rather than None.
+        if rows:
+            dtype = np.int64 if int_type else np.float64
+            return np.empty(0, dtype=dtype)
         return None
     # reference from_proto_to_array keeps int data as float64 unless the
     # IntMatrix path is used; reshape only when 2-D

@@ -81,9 +81,9 @@ def brute_force_topk(ds, queries: dict[int, np.ndarray], k: int = 10,
     )
 
     def global_topk(group: pd.DataFrame) -> pd.DataFrame:
-        top = group.nlargest(k, ["sim", "vec_id"])
-        top = top.sort_values(["sim", "vec_id"], ascending=[False, True])
-        top = top.iloc[:k].copy()
+        top = group.sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).iloc[:k].copy()
         top["rank"] = np.arange(len(top), dtype=np.int64)
         return top
 
@@ -152,7 +152,9 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, nbits: int = 8,
         for qid in wanted.get(bucket, []):
             sims = vecs @ qvec_by_id[qid]
             kk = min(k, len(ids))
-            top = np.argsort(-sims)[:kk]
+            # deterministic at equal sim: secondary sort on vec_id so the
+            # k-boundary does not depend on row order within the group
+            top = np.lexsort((ids, -sims))[:kk]
             for t in top:
                 out["query_id"].append(qid)
                 out["vec_id"].append(int(ids[t]))
@@ -168,8 +170,7 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, nbits: int = 8,
         return scored
 
     def global_topk(group: pd.DataFrame) -> pd.DataFrame:
-        top = group.nlargest(k, ["sim", "vec_id"])
-        return top.sort_values(
+        return group.sort_values(
             ["sim", "vec_id"], ascending=[False, True]
         ).iloc[:k].copy()
 
@@ -251,7 +252,9 @@ def ivf_topk(ds, queries: dict[int, np.ndarray], k: int = 10,
         for qid in wanted.get(cell, []):
             sims = vecs @ qvec_by_id[qid]
             kk = min(k, len(ids))
-            top = np.argsort(-sims)[:kk]
+            # deterministic at equal sim: secondary sort on vec_id so the
+            # k-boundary does not depend on row order within the group
+            top = np.lexsort((ids, -sims))[:kk]
             for t in top:
                 out["query_id"].append(qid)
                 out["vec_id"].append(int(ids[t]))
@@ -259,9 +262,9 @@ def ivf_topk(ds, queries: dict[int, np.ndarray], k: int = 10,
         return pd.DataFrame(out)
 
     def global_topk(group: pd.DataFrame) -> pd.DataFrame:
-        top = group.nlargest(k, ["sim", "vec_id"])
-        top = top.sort_values(["sim", "vec_id"], ascending=[False, True])
-        return top.iloc[:k].copy()
+        return group.sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).iloc[:k].copy()
 
     return (
         ds.map_batches(assign, batch_format="pandas")

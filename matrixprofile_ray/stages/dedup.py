@@ -110,6 +110,10 @@ def _batch_shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     ``doc_starts[i]`` indexes doc i's first shingle — ready for
     ``np.minimum.reduceat`` / ``np.add.reduceat`` segmented reductions.
     """
+    if len(texts) == 0:
+        # Ray may deliver an empty block; sliding_window_view over a
+        # zero-length buffer raises, so short-circuit instead.
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     encoded = []
     for t in texts:
         e = t.encode()

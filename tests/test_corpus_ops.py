@@ -121,6 +121,13 @@ class TestDedupKernels:
             )
             np.testing.assert_array_equal(got, want)
 
+    def test_batch_shingles_empty_batch(self):
+        from matrixprofile_ray.stages.dedup import _batch_shingle_hashes
+
+        flat, starts = _batch_shingle_hashes([], 5)
+        assert flat.dtype == np.uint64 and len(flat) == 0
+        assert starts.dtype == np.int64 and len(starts) == 0
+
     def test_batch_shingles_match_per_doc(self):
         from matrixprofile_ray.stages.dedup import (
             _batch_shingle_hashes,

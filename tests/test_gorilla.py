@@ -139,3 +139,28 @@ class TestNativeParity:
         assert c_streams == py_streams
         for s, t in zip(py_streams, cases):
             np.testing.assert_array_equal(timestamps_decode(s), t)
+
+
+class TestCorruptPayloads:
+    """Native decoders must reject truncated/corrupt payloads instead of
+    reading out of bounds or allocating bogus multi-GB buffers."""
+
+    def test_native_rejects_corruption(self):
+        from matrixprofile_ray.core import _native
+
+        if not _native.available():
+            pytest.skip("no C compiler")
+        rng = np.random.default_rng(3)
+        vals = rng.normal(size=1000)
+        enc = gorilla_encode_floats(vals)
+        ts = np.cumsum(rng.integers(1, 100, 1000).astype(np.int64))
+        enc_ts = timestamps_encode(ts)
+        for bad in (enc[:4], enc[:150], b"\x7f\xff\xff\xff" + enc[4:], b"\x01"):
+            with pytest.raises(ValueError):
+                _native.native_gorilla_decode(bad)
+        for bad in (enc_ts[:150], b"\x7f\xff\xff\xff" + enc_ts[4:]):
+            with pytest.raises(ValueError):
+                _native.native_ts_decode(bad)
+        # uncorrupted still round-trips after all the failed decodes
+        np.testing.assert_array_equal(gorilla_decode_floats(enc), vals)
+        np.testing.assert_array_equal(timestamps_decode(enc_ts), ts)
