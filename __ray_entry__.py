@@ -749,7 +749,9 @@ def q_embedding_neardup(sf_dir: str):
     from matrixprofile_ray.stages.ann import near_duplicates
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    df = near_duplicates(ds, threshold=0.35, nbits=0).to_pandas()
+    df = near_duplicates(
+        ds, threshold=0.35, nbits=0, sub_buckets="auto"
+    ).to_pandas()
     df["a"] = df["a"].astype("int64")
     df["b"] = df["b"].astype("int64")
     return df.sort_values(["a", "b"]).reset_index(drop=True)
