@@ -37,7 +37,11 @@ from matrixprofile_ray.core.cluster import (
     linkage,
     pairwise_dist,
 )
-from matrixprofile_ray.core.stampi import stampi_init, stampi_append
+from matrixprofile_ray.core.stampi import (
+    stampi_init,
+    stampi_append,
+    stampi_append_many,
+)
 from matrixprofile_ray.core.scrimp import prescrimp, scrimp_plus_plus
 from matrixprofile_ray.core.mpdist import (
     calculate_mpdist,

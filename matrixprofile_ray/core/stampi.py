@@ -17,7 +17,7 @@ from matrixprofile_ray.core import mathutil
 from matrixprofile_ray.core.moving import moving_avg_std
 from matrixprofile_ray.core.stomp import stomp
 
-__all__ = ["stampi_init", "stampi_append"]
+__all__ = ["stampi_init", "stampi_append", "stampi_append_many"]
 
 
 def stampi_init(ts: np.ndarray, w: int) -> dict:
@@ -88,6 +88,72 @@ def stampi_append(state: dict, value: float) -> dict:
     nn = int(np.argmin(own))
     mp[new_idx] = own[nn]
     pi[new_idx] = nn
+
+    state["mp"] = mp
+    state["pi"] = pi
+    return state
+
+
+def stampi_append_many(state: dict, values: np.ndarray) -> dict:
+    """Append a block of points in one call — same math as repeated
+    ``stampi_append`` (bit-identical: per-point query stats come from the
+    same window slice), but the series concatenation and rolling stats of
+    the data side are hoisted out of the per-point loop. ``moving_avg_std``
+    is cumsum-based, so its prefix values are independent of later points —
+    computing it once on the final series equals per-step recomputation.
+
+    Amortizes the Python dispatch the per-point shard loop paid
+    (round-2 VERDICT item 3 on ``state/streaming.py``).
+    """
+    values = np.asarray(values, dtype="d")
+    if len(values) == 0:
+        return state
+    w = state["w"]
+    ez = state["ez"]
+    ts = np.concatenate([state["ts"], values])
+    state["ts"] = ts
+    n = len(ts)
+    if n < 2 * w:
+        return state
+    if len(state["mp"]) == 0:
+        # sequential appends bootstrap via batch STOMP at exactly n == 2w
+        # (stomp and the incremental path agree only up to fp noise, so the
+        # bootstrap prefix length must match the one-at-a-time schedule for
+        # bit-identical parity with repeated stampi_append)
+        profile = stomp(ts[: 2 * w], w)
+        state["mp"] = profile["mp"]
+        state["pi"] = profile["pi"]
+
+    n_old_sub = len(state["mp"])
+    total_sub = n - w + 1
+    data_mu, data_sig = moving_avg_std(ts, w)
+    mp = np.concatenate([
+        state["mp"], np.full(total_sub - n_old_sub, np.inf)
+    ])
+    pi = np.concatenate([
+        state["pi"], np.zeros(total_sub - n_old_sub, dtype=np.int64)
+    ])
+    for s in range(n_old_sub, total_sub):
+        seg = ts[: s + w]           # series as of this append
+        query = ts[s: s + w]
+        q_mu, q_sig = moving_avg_std(query, w)
+        prod = mathutil.fft_convolve(seg, query)
+        dist = mathutil.distance_profile(
+            prod, w, data_mu[: s + 1], data_sig[: s + 1], q_mu[0], q_sig[0]
+        )
+        dist[~np.isfinite(dist)] = np.inf
+
+        cutoff = max(0, s - ez)
+        head = dist[:s]
+        mask = head[:cutoff] < mp[:cutoff]
+        mp[:cutoff][mask] = head[:cutoff][mask]
+        pi[:cutoff][mask] = s
+
+        own = dist.copy()
+        mathutil.apply_exclusion_zone(ez, False, w, s + w, s, own)
+        nn = int(np.argmin(own))
+        mp[s] = own[nn]
+        pi[s] = nn
 
     state["mp"] = mp
     state["pi"] = pi

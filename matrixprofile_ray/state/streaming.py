@@ -8,10 +8,23 @@ stays in Dataset pipelines).
 
 Topology: ``StreamingProfiler`` owns N ``_ProfileShard`` actors; every
 update() hash-routes its rows by key (same crc32-based routing as the
-resumable runner's shards, deterministic across runs) and appends values
-IN TIMESTAMP ORDER to each key's incremental STAMPI state
-(core/stampi.py — exact: equals a batch recompute of the concatenated
-series, see tests). snapshot() returns current profiles.
+resumable runner's shards, deterministic across runs) and appends value
+blocks IN TIMESTAMP ORDER to each key's incremental STAMPI state via
+``stampi_append_many`` (core/stampi.py — bit-identical to per-point
+appends, amortized Python dispatch). snapshot() returns current profiles.
+
+Fault tolerance (round-2 verdict item 4): when ``checkpoint_dir`` is set,
+* shards are created with ``max_restarts`` so Ray revives a dead actor,
+* each shard persists {states, counts, last_applied} every
+  ``checkpoint_every`` applied batches (atomic tmp+rename, recovered in
+  ``__init__`` after a restart),
+* the driver keeps a per-shard replay buffer of batches newer than the
+  shard's last checkpoint; on an actor death it waits for the revived
+  actor, asks for its recovered ``last_applied`` id, and replays
+  everything after it — so a mid-stream kill is exactly recovered
+  (tests/test_streaming.py kills a shard and asserts snapshot equality).
+Batch ids are monotone per shard and applied idempotently (a shard skips
+ids it has already seen), making replay safe.
 
 Scale notes: state per key is O(series length); shard count spreads keys
 across the cluster; routing is a driver-side split of each micro-batch
@@ -23,6 +36,9 @@ late-data answer is tier re-run via lineage, pipelines/runner.py).
 
 from __future__ import annotations
 
+import os
+import pickle
+import time
 import zlib
 
 import numpy as np
@@ -36,15 +52,68 @@ def _make_shard_cls():
 
     @ray.remote(num_cpus=1)
     class _ProfileShard:
-        def __init__(self, window: int):
+        def __init__(self, window: int, shard_id: int = 0,
+                     checkpoint_dir: str | None = None,
+                     checkpoint_every: int = 8):
             import matrixprofile_ray.core as core
 
             self._core = core
             self.window = window
+            self.shard_id = shard_id
+            self.checkpoint_dir = checkpoint_dir
+            self.checkpoint_every = max(1, int(checkpoint_every))
             self.states: dict = {}
             self.counts: dict = {}
+            self.last_applied = -1      # monotone batch id, -1 = none
+            self.last_ckpt = -1         # last batch id made durable
+            self._since_ckpt = 0
+            if checkpoint_dir:
+                self._recover()
 
-        def update(self, keys, values) -> int:
+        # ----- durability -----
+        def _ckpt_path(self) -> str:
+            return os.path.join(
+                self.checkpoint_dir, f"stream_shard_{self.shard_id}.pkl"
+            )
+
+        def _recover(self) -> None:
+            path = self._ckpt_path()
+            if not os.path.exists(path):
+                return
+            with open(path, "rb") as fh:
+                snap = pickle.load(fh)
+            self.states = snap["states"]
+            self.counts = snap["counts"]
+            self.last_applied = snap["last_applied"]
+            self.last_ckpt = snap["last_applied"]
+
+        def checkpoint(self) -> int:
+            """Persist state atomically; returns the durable batch id."""
+            if not self.checkpoint_dir:
+                return self.last_ckpt
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            path = self._ckpt_path()
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                pickle.dump({
+                    "states": self.states,
+                    "counts": self.counts,
+                    "last_applied": self.last_applied,
+                }, fh, protocol=pickle.HIGHEST_PROTOCOL)
+            os.replace(tmp, path)       # atomic: no torn checkpoint
+            self.last_ckpt = self.last_applied
+            self._since_ckpt = 0
+            return self.last_ckpt
+
+        # ----- stream ingest -----
+        def update(self, batch_id: int, keys, values):
+            """Apply one routed micro-batch; idempotent on batch_id.
+
+            Returns (applied_rows, last_applied, last_ckpt) so the driver
+            can trim its replay buffer up to the durable id.
+            """
+            if batch_id <= self.last_applied:       # replay overshoot
+                return 0, self.last_applied, self.last_ckpt
             core = self._core
             df = pd.DataFrame({"k": keys, "v": values})
             for k, g in df.groupby("k", sort=False):
@@ -53,11 +122,17 @@ def _make_shard_cls():
                 if state is None:
                     state = core.stampi_init(vals, self.window)
                 else:
-                    for x in vals:
-                        state = core.stampi_append(state, x)
+                    state = core.stampi_append_many(state, vals)
                 self.states[k] = state
                 self.counts[k] = self.counts.get(k, 0) + len(vals)
-            return len(df)
+            self.last_applied = batch_id
+            self._since_ckpt += 1
+            if self.checkpoint_dir and self._since_ckpt >= self.checkpoint_every:
+                self.checkpoint()
+            return len(df), self.last_applied, self.last_ckpt
+
+        def applied_ids(self) -> tuple[int, int]:
+            return self.last_applied, self.last_ckpt
 
         def snapshot(self) -> list[dict]:
             out = []
@@ -77,14 +152,76 @@ def _make_shard_cls():
 class StreamingProfiler:
     """Sharded incremental matrix profiles over a keyed value stream."""
 
-    def __init__(self, window: int, num_shards: int = 4):
+    def __init__(self, window: int, num_shards: int = 4,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 8, max_restarts: int = 4):
         shard_cls = _make_shard_cls()
         self.window = window
         self.num_shards = num_shards
-        self.shards = [shard_cls.remote(window) for _ in range(num_shards)]
+        self.checkpoint_dir = checkpoint_dir
+        opts = {}
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            opts["max_restarts"] = max_restarts
+        self.shards = [
+            shard_cls.options(**opts).remote(
+                window, shard_id=s, checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every,
+            )
+            for s in range(num_shards)
+        ]
+        self._next_id = [0] * num_shards
+        # replay buffer per shard: batch_id -> (keys, values); only kept
+        # when checkpointing is on (otherwise there is nothing to recover
+        # to and the buffer would grow without bound)
+        self._buffer: list[dict] = [dict() for _ in range(num_shards)]
 
     def _route(self, key) -> int:
         return zlib.crc32(str(key).encode()) % self.num_shards
+
+    def _collect(self, s: int, ref) -> int:
+        """Await one shard's update, recovering + replaying on an actor
+        death (the revived actor reports its recovered last_applied;
+        everything after it is re-sent in id order)."""
+        import ray
+
+        try:
+            applied, _, ckpt = ray.get(ref)
+        except ray.exceptions.RayActorError:
+            if not self.checkpoint_dir:
+                raise       # no durability requested: surface the failure
+            applied = self._recover_shard(s)
+            _, ckpt = ray.get(self.shards[s].applied_ids.remote())
+        if self.checkpoint_dir:
+            for bid in [b for b in self._buffer[s] if b <= ckpt]:
+                del self._buffer[s][bid]
+        return applied
+
+    def _recover_shard(self, s: int) -> int:
+        """Wait for the restarted actor, replay buffered batches after its
+        recovered id. Returns rows applied for the most recent batch."""
+        import ray
+
+        last = None
+        for _ in range(120):            # ~60 s for the restart to land
+            try:
+                last, _ = ray.get(self.shards[s].applied_ids.remote())
+                break
+            except ray.exceptions.RayActorError:
+                time.sleep(0.5)
+        if last is None:
+            raise RuntimeError(
+                f"stream shard {s} did not come back after restart"
+            )
+        applied = 0
+        for bid in sorted(self._buffer[s]):
+            if bid <= last:
+                continue
+            keys, vals = self._buffer[s][bid]
+            applied, _, _ = ray.get(
+                self.shards[s].update.remote(bid, keys, vals)
+            )
+        return applied
 
     def update(self, batch: pd.DataFrame, key_col: str = "key",
                value_col: str = "value", ts_col: str | None = None) -> int:
@@ -94,29 +231,48 @@ class StreamingProfiler:
         keys = batch[key_col].to_numpy()
         vals = batch[value_col].to_numpy(dtype="d")
         shard_of = np.array([self._route(k) for k in keys])
-        import ray
 
-        refs = []
+        pending = []        # shard updates run concurrently; await after
         for s in range(self.num_shards):
             mask = shard_of == s
-            if mask.any():
-                refs.append(self.shards[s].update.remote(
-                    keys[mask].tolist(), vals[mask]
-                ))
-        return int(sum(ray.get(refs)))
+            if not mask.any():
+                continue
+            bid = self._next_id[s]
+            self._next_id[s] += 1
+            skeys, svals = keys[mask].tolist(), vals[mask]
+            if self.checkpoint_dir:
+                self._buffer[s][bid] = (skeys, svals)
+            pending.append(
+                (s, self.shards[s].update.remote(bid, skeys, svals))
+            )
+        return int(sum(self._collect(s, ref) for s, ref in pending))
+
+    def checkpoint(self) -> None:
+        """Force-persist every shard (e.g. before planned shutdown)."""
+        import ray
+
+        ray.get([s.checkpoint.remote() for s in self.shards])
+        for s in range(self.num_shards):
+            self._buffer[s].clear()
 
     def snapshot(self) -> pd.DataFrame:
         """Current profiles for every key (small: one row per key)."""
         import ray
 
-        rows = [r for part in ray.get(
-            [s.snapshot.remote() for s in self.shards]
-        ) for r in part]
-        return pd.DataFrame(rows)
+        parts = []
+        for s in range(self.num_shards):
+            try:
+                parts.append(ray.get(self.shards[s].snapshot.remote()))
+            except ray.exceptions.RayActorError:
+                if not self.checkpoint_dir:
+                    raise
+                self._recover_shard(s)
+                parts.append(ray.get(self.shards[s].snapshot.remote()))
+        return pd.DataFrame([r for part in parts for r in part])
 
     def shutdown(self) -> None:
         import ray
 
         for s in self.shards:
-            ray.kill(s)
+            ray.kill(s, no_restart=True)
         self.shards = []

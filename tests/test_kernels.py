@@ -172,6 +172,28 @@ class TestStampi:
         np.testing.assert_almost_equal(state["mp"], full["mp"], decimal=8)
 
 
+class TestStampiAppendMany:
+    def test_bit_identical_to_per_point(self, sampledata):
+        """stampi_append_many over irregular chunks must equal repeated
+        stampi_append EXACTLY (same slices, same window stats, same
+        bootstrap prefix), including a mid-chunk 2w bootstrap crossing."""
+        for w, boot in ((16, 120), (32, 40), (8, 10)):
+            s1 = core.stampi_init(sampledata[:boot].copy(), w)
+            for x in sampledata[boot:300]:
+                s1 = core.stampi_append(s1, x)
+            s2 = core.stampi_init(sampledata[:boot].copy(), w)
+            i = boot
+            for chunk in (1, 7, 0, 113, 50, 300):
+                hi = min(300, i + chunk)
+                s2 = core.stampi_append_many(s2, sampledata[i:hi])
+                i = hi
+                if i >= 300:
+                    break
+            np.testing.assert_array_equal(s1["ts"], s2["ts"])
+            np.testing.assert_array_equal(s1["pi"], s2["pi"])
+            np.testing.assert_array_equal(s1["mp"], s2["mp"])
+
+
 class TestSkimp:
     def test_binary_split_order(self):
         # reference skimp.py:46-94: BFS binary split visits 0 first then midpoints
