@@ -674,6 +674,36 @@ def q_fingerprint(sf_dir: str):
     return ds.map_batches(fingerprint, batch_format="pyarrow")
 
 
+def q_shingle_stats(sf_dir: str):
+    """Distinct 5-byte-shingle hash count per document (the quantity the
+    MinHash/SimHash stages are built on), fully vectorized per batch."""
+    import pyarrow as pa
+
+    from matrixprofile_ray.stages.dedup import _batch_shingle_hashes
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        flat, starts = _batch_shingle_hashes(texts, 5)
+        doc_idx = np.repeat(
+            np.arange(n, dtype=np.int64),
+            np.diff(np.concatenate([starts, [len(flat)]])),
+        )
+        order = np.lexsort((flat, doc_idx))
+        sf_, sd = flat[order], doc_idx[order]
+        first = np.ones(len(sf_), dtype=bool)
+        first[1:] = (sf_[1:] != sf_[:-1]) | (sd[1:] != sd[:-1])
+        uniq = np.bincount(sd[first], minlength=n)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_shingles": pa.array(uniq.astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_minhash_pairs(sf_dir: str):
     from matrixprofile_ray.stages.dedup import minhash_dedup_pairs
 
@@ -910,6 +940,72 @@ def q_moving_avg_1h(sf_dir: str):
     return df.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
 
 
+def q_moving_minmax_1h(sf_dir: str):
+    """Trailing 4-bucket moving min/max/median of hourly event counts per
+    type (core.moving.moving_min/max/median over the rolled series)."""
+    from matrixprofile_ray.core.moving import (
+        moving_max,
+        moving_median,
+        moving_min,
+    )
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+
+    def mm(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("bucket_ts")
+        c = g["count"].to_numpy(dtype="d")
+        if len(c) < 4:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "bucket_ts": pd.Series(dtype="int64"),
+                "mmin4": pd.Series(dtype="float64"),
+                "mmax4": pd.Series(dtype="float64"),
+                "mmed4": pd.Series(dtype="float64"),
+            })
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "bucket_ts": g["bucket_ts"].to_numpy()[3:].astype("int64"),
+            "mmin4": np.round(moving_min(c, 4), 6),
+            "mmax4": np.round(moving_max(c, 4), 6),
+            "mmed4": np.round(moving_median(c, 4), 6),
+        })
+
+    df = buckets.groupby("event_type").map_groups(
+        mm, batch_format="pandas"
+    ).to_pandas()
+    df["bucket_ts"] = df["bucket_ts"].astype("int64")
+    return df.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+def q_ann_radius(sf_dir: str):
+    """Radius similarity search: every vector with cosine >= 0.3 of any of
+    the 5 query vectors (exact, no top-k truncation) — one matmul per
+    batch against the broadcast query matrix, no shuffle at all."""
+    from matrixprofile_ray.stages.ann import _embed_matrix, _normalize
+
+    queries = _query_vectors(sf_dir)
+    qids = sorted(queries)
+    qmat = _normalize(np.vstack([queries[q] for q in qids]))
+    thresh = 0.3
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(_embed_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy()
+        sims = vecs @ qmat.T
+        ii, jj = np.nonzero(sims >= thresh)
+        return pd.DataFrame({
+            "query_id": np.asarray(qids, dtype=np.int64)[jj],
+            "vec_id": ids[ii].astype(np.int64),
+            "sim": np.round(sims[ii, jj], 6),
+        })
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = ds.map_batches(scan, batch_format="pandas").to_pandas()
+    return df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
 def q_orders_segment_join(sf_dir: str):
     """Hash join orders ⋈ customer then aggregate revenue per market
     segment (Ray Dataset.join + in-batch partial aggregation)."""
@@ -1121,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "shingle_stats": q_shingle_stats,
         "minhash_pairs": q_minhash_pairs,
         "simhash_groups": q_simhash_groups,
         "simhash_neardup": q_simhash_neardup,
@@ -1136,6 +1233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_users": q_sessionize_users,
         "asof_join": q_asof_join,
         "moving_avg_1h": q_moving_avg_1h,
+        "moving_minmax_1h": q_moving_minmax_1h,
+        "ann_radius": q_ann_radius,
         "orders_segment_join": q_orders_segment_join,
         "percentile_events": q_percentile_events,
         "token_histogram": q_token_histogram,
@@ -1345,6 +1444,91 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(o.o_totalprice, 6) AS last_order_totalprice
             FROM events e
             ASOF JOIN o ON o.user_id = e.user_id AND o.o_orderdate <= e.ts
+        """,
+        "fingerprint": """
+            -- engine hash mirrored exactly: min 64-bit polynomial rolling
+            -- hash (FNV-prime base) over all 8-byte shingles; exact
+            -- integer arithmetic via HUGEINT mod 2^64 (texts are ASCII so
+            -- ord(char) == byte)
+            SELECT doc_id,
+                   CAST(m - CASE WHEN m >= 9223372036854775808::HUGEINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS fp
+            FROM (
+                SELECT doc_id,
+                       list_min([(ord(text[i+1])::HUGEINT * 14218562807570617051::HUGEINT + ord(text[i+2])::HUGEINT * 15895002104753931833::HUGEINT + ord(text[i+3])::HUGEINT * 913917546033277539::HUGEINT + ord(text[i+4])::HUGEINT * 11527715348014283921::HUGEINT + ord(text[i+5])::HUGEINT * 624165263380053675::HUGEINT + ord(text[i+6])::HUGEINT * 956575116354345::HUGEINT + ord(text[i+7])::HUGEINT * 1099511628211::HUGEINT + ord(text[i+8])::HUGEINT * 1::HUGEINT) % 18446744073709551616::HUGEINT
+                                 for i in range(1 + length(text) - 8)]) AS m
+                FROM documents
+            )
+        """,
+        "simhash_groups": """
+            -- 64-bit SimHash recomputed in SQL: distinct 5-byte shingle
+            -- hashes (same polynomial as the engine) vote per bit
+            
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct([(ord(text[i+1])::HUGEINT * 11527715348014283921::HUGEINT + ord(text[i+2])::HUGEINT * 624165263380053675::HUGEINT + ord(text[i+3])::HUGEINT * 956575116354345::HUGEINT + ord(text[i+4])::HUGEINT * 1099511628211::HUGEINT + ord(text[i+5])::HUGEINT * 1::HUGEINT) % 18446744073709551616::HUGEINT
+                                      for i in range(1 + length(text) - 5)])
+                           AS hs
+                FROM documents
+            ), bits AS (
+                SELECT doc_id, b.b AS b,
+                       SUM(CASE WHEN (h.h >> b.b::INT) % 2 = 1
+                                THEN 1 ELSE 0 END) AS ones,
+                       COUNT(*) AS cnt
+                FROM sh, unnest(hs) AS h(h), range(64) AS b(b)
+                GROUP BY doc_id, b.b
+            ), sim AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN 2 * ones > cnt
+                                THEN (1::HUGEINT << b::INT)
+                                ELSE 0::HUGEINT END) AS v
+                FROM bits GROUP BY doc_id
+            )
+            SELECT CAST(v - CASE WHEN v >= 9223372036854775808::HUGEINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*)::BIGINT AS group_size
+            FROM sim GROUP BY 1
+        """,
+        "shingle_stats": """
+            SELECT doc_id,
+                   len(list_distinct([(ord(text[i+1])::HUGEINT * 11527715348014283921::HUGEINT + ord(text[i+2])::HUGEINT * 624165263380053675::HUGEINT + ord(text[i+3])::HUGEINT * 956575116354345::HUGEINT + ord(text[i+4])::HUGEINT * 1099511628211::HUGEINT + ord(text[i+5])::HUGEINT * 1::HUGEINT) % 18446744073709551616::HUGEINT
+                       for i in range(1 + length(text) - 5)]))::BIGINT
+                       AS n_shingles
+            FROM documents
+        """,
+        "ann_radius": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            )
+            SELECT q.query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) AS sim
+            FROM embeddings e CROSS JOIN q
+            WHERE list_cosine_similarity(
+                e.embedding::DOUBLE[], q.qvec::DOUBLE[]) >= 0.3
+        """,
+        "moving_minmax_1h": f"""
+            WITH b AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ), w AS (
+                SELECT event_type, bucket_ts,
+                       MIN(cnt::DOUBLE) OVER win AS mmin4,
+                       MAX(cnt::DOUBLE) OVER win AS mmax4,
+                       MEDIAN(cnt::DOUBLE) OVER win AS mmed4,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY bucket_ts) AS rn
+                FROM b
+                WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ts
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_type, bucket_ts,
+                   ROUND(mmin4, 6) AS mmin4,
+                   ROUND(mmax4, 6) AS mmax4,
+                   ROUND(mmed4, 6) AS mmed4
+            FROM w WHERE rn >= 4
         """,
         "moving_avg_1h": f"""
             WITH b AS (
