@@ -534,15 +534,20 @@ def q_cluster_events(sf_dir: str):
     nk = len(keys)
 
     def expand_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        # values ship as raw float64 bytes: a ragged ndarray column can't
+        # build EMPTY blocks (hash-shuffle partitions with no pairs raise
+        # "Creating empty ragged tensor arrays is not supported"); binary
+        # columns have no such restriction
         rows = []
         for _, r in batch.iterrows():
             i = idx[r["event_type"]]
+            buf = np.asarray(r["values"], dtype="d").tobytes()
             for j in range(nk):
                 if j == i:
                     continue
                 a, b = (i, j) if i < j else (j, i)
                 rows.append({
-                    "pair": a * nk + b, "side": i, "values": r["values"],
+                    "pair": a * nk + b, "side": i, "values": buf,
                 })
         if not rows:        # empty blocks must still carry the schema
             return pd.DataFrame({
@@ -559,8 +564,8 @@ def q_cluster_events(sf_dir: str):
                 "i": pd.Series(dtype="int64"), "j": pd.Series(dtype="int64"),
                 "d": pd.Series(dtype="float64"),
             })
-        va = np.asarray(g.iloc[0]["values"], dtype="d")
-        vb = np.asarray(g.iloc[1]["values"], dtype="d")
+        va = np.frombuffer(g.iloc[0]["values"], dtype="d")
+        vb = np.frombuffer(g.iloc[1]["values"], dtype="d")
         p = int(g.iloc[0]["pair"])
         return pd.DataFrame({
             "i": [p // nk], "j": [p % nk],

@@ -65,7 +65,7 @@ def bench_flagship(num_cpus: int, n_pages: int,
 
         pages_parquet(corpus_dir, n_pages, n_domains=n_domains)
         t0 = time.time()  # read path: exclude the one-time corpus write
-        ensure_hash_shuffle()
+        ensure_hash_shuffle(parallelism_mult=8)
         pages = rd.read_parquet(
             corpus_dir, columns=["url", "warc_ts", "html", "text"]
         )
@@ -77,7 +77,14 @@ def bench_flagship(num_cpus: int, n_pages: int,
         tiers=("raw", "1h", "1d", "7d"),
         profile_concurrency=max(2, num_cpus - 2),
     )
-    rolled_points = int(res["series"].sum("n"))
+    # series is materialized and tiny (one row per domain×tier): fold the
+    # point count on the driver — Dataset.sum() pays ~1.7 s of aggregate
+    # fixed cost per call regardless of size
+    rolled_points = int(sum(
+        int(b["n"].sum())
+        for b in res["series"].iter_batches(batch_format="pandas",
+                                            batch_size=8192)
+    ))
     discoveries = res["discoveries"].count()
     wall = time.time() - t0
     return {

@@ -106,13 +106,24 @@ def series_all_tiers(pages_ds, tiers=("raw", "1h", "1d", "7d"),
     )
     pipeline = DomainPipeline(tiers=tiers, value_col=value_col)
 
-    from matrixprofile_ray.util import partitioned_group_map
+    from matrixprofile_ray.util import _cluster_cpus, partitioned_group_map
 
     # partition-level processing: all domains of a hash partition in one
     # call (per-domain map_groups paid Ray bookkeeping + a one-row pandas
-    # frame per (domain, tier) — measurable at 8k+ domains)
+    # frame per (domain, tier) — measurable at 8k+ domains).
+    # cpus*8 partitions (not the cpus*2 default): this fold is minutes of
+    # CPU with Zipf-skewed per-domain cost; more, smaller partitions keep
+    # the largest cluster leg in the many-waves regime so stragglers
+    # amortize (2 waves at cpus*2 put a 9.6 s max task on the critical
+    # path at 32 CPUs; matches the source plan's parallelism_mult=8)
+    cpus = _cluster_cpus() or 8
+    # partials are pure scalar Arrow (domain, bucket_ts, moments): keep the
+    # scatter Arrow-native so the 256-way split is zero-copy take, not a
+    # pandas frame copy per slice (measured ~1.2 s/block at 64 blocks)
     return partitioned_group_map(
-        partials, ["domain"], pipeline.process_partition
+        partials, ["domain"], pipeline.process_partition,
+        num_partitions=max(16, cpus * 8),
+        partition_batch_format="pyarrow",
     )
 
 

@@ -170,8 +170,11 @@ def pages_dataset(n_rows: int, seed: int = 42,
 
     # Ray snapshots the DataContext when the SOURCE dataset is created —
     # shuffle settings applied later (by downstream builders) do not reach
-    # this plan, so the context must be right before rd.range
-    ensure_hash_shuffle()
+    # this plan, so the context must be right before rd.range.
+    # parallelism_mult=8: the downstream per-domain cascade fold is the
+    # CPU-heaviest exchange in the engine; many small partitions keep every
+    # cluster size in the many-waves regime (see ensure_hash_shuffle).
+    ensure_hash_shuffle(parallelism_mult=8)
     ds = rd.range(n_rows, override_num_blocks=override_num_blocks)
 
     def _batch(batch: dict) -> pa.Table:

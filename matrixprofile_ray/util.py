@@ -20,7 +20,7 @@ def _cluster_cpus() -> int | None:
     return None  # unknown until ray.init — do not guess
 
 
-def ensure_hash_shuffle() -> None:
+def ensure_hash_shuffle(parallelism_mult: int = 2) -> None:
     """Switch the current DataContext to hash-based shuffling, sized to the
     cluster.
 
@@ -32,6 +32,16 @@ def ensure_hash_shuffle() -> None:
     counts — size both to the actual cluster so aggregators never crowd
     out the compute actor pools. Safe to call repeatedly and before
     ray.init(); silently a no-op on Ray versions without the strategy.
+
+    ``parallelism_mult`` sets shuffle partitions per CPU. Default 2 keeps
+    per-exchange fixed cost low for the small relational queries; plans
+    whose post-shuffle fold is CPU-heavy and key-skewed (the flagship's
+    per-domain cascade: minutes of CPU, Zipf domain sizes) pass 8 so every
+    leg of a scaling pair runs many waves and stragglers amortize — at
+    cpus*2 a 32-CPU run is just 2 waves and the slowest partition sets the
+    wall (measured 9.6 s max vs 4.2 s mean per task). Must be set BEFORE
+    the source dataset is created: Ray snapshots the DataContext into the
+    plan at source creation.
     """
     try:
         from ray.data.context import DataContext, ShuffleStrategy
@@ -45,7 +55,9 @@ def ensure_hash_shuffle() -> None:
             return
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
-        ctx.default_hash_shuffle_parallelism = max(16, cpus * 2)
+        ctx.default_hash_shuffle_parallelism = max(
+            16, cpus * parallelism_mult
+        )
         # aggregator actors must not reserve whole CPUs away from the
         # profile/discovery pools
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
@@ -59,6 +71,7 @@ def partitioned_group_map(
     keys: list[str],
     fn,
     num_partitions: int | None = None,
+    partition_batch_format: str = "pandas",
 ):
     """Group-by for HIGH-CARDINALITY keys: one low-cardinality shuffle +
     one vectorized call per PARTITION.
@@ -73,6 +86,16 @@ def partitioned_group_map(
     (pandas groupby / lexsort + reduceat / merge_asof). Keys never split
     across partitions; partition count is cluster-sized, not
     data-sized, so the per-call overhead is O(cores).
+
+    ``partition_batch_format`` controls the format of the *scatter* stage
+    (the tag-with-``_part`` map). Ray's hash-shuffle scatter splits each
+    tagged block into ``num_partitions`` slices; splitting a pandas block
+    pays a frame-copy per slice (measured ~1.2 s/block at 256 partitions
+    on the flagship partials), while Arrow blocks split by zero-copy take.
+    Pass "pyarrow" when every column is scalar-typed (no object/ragged
+    columns); ``fn`` still receives a pandas frame either way. The ``_part``
+    value is identical in both formats (same ``pd.util.hash_array`` over
+    the same numpy arrays), so outputs do not depend on the choice.
     """
     import numpy as np
     import pandas as pd
@@ -87,21 +110,39 @@ def partitioned_group_map(
         except Exception:
             num_partitions = 16
 
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        h = np.zeros(len(batch), dtype=np.uint64)
+    def _part_ids(cols: dict) -> np.ndarray:
+        h = None
         for col in keys:
-            h = h * np.uint64(1099511628211) + pd.util.hash_array(
-                np.asarray(batch[col].to_numpy())
-            ).astype(np.uint64)
-        batch = batch.copy()
-        batch["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
-        return batch
+            hc = pd.util.hash_array(np.asarray(cols[col])).astype(np.uint64)
+            h = hc if h is None else h * np.uint64(1099511628211) + hc
+        return (h % np.uint64(num_partitions)).astype(np.int64)
+
+    if partition_batch_format == "pyarrow":
+        import pyarrow as pa
+
+        def add_part(batch: "pa.Table") -> "pa.Table":
+            batch = batch.combine_chunks()
+            ids = _part_ids(
+                {
+                    col: batch[col].to_numpy(zero_copy_only=False)
+                    for col in keys
+                }
+            )
+            return batch.append_column("_part", pa.array(ids, pa.int64()))
+
+    else:
+
+        def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = _part_ids({col: batch[col].to_numpy() for col in keys})
+            batch = batch.copy()
+            batch["_part"] = ids
+            return batch
 
     def run_part(group: pd.DataFrame) -> pd.DataFrame:
         return fn(group.drop(columns=["_part"]))
 
     return (
-        ds.map_batches(add_part, batch_format="pandas")
+        ds.map_batches(add_part, batch_format=partition_batch_format)
         .groupby("_part")
         .map_groups(run_part, batch_format="pandas")
     )
