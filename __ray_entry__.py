@@ -209,9 +209,11 @@ def _series_1h(sf_dir: str, value_col: str = "count"):
 
         ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
         buckets = rollup_events(ds, H1)
-        _SERIES_CACHE[key] = series_from_buckets(
+        from matrixprofile_ray.util import safe_materialize
+
+        _SERIES_CACHE[key] = safe_materialize(series_from_buckets(
             buckets, H1, value_col=value_col
-        ).materialize()
+        ))
     return _SERIES_CACHE[key]
 
 
@@ -430,8 +432,10 @@ def q_mstomp_1h(sf_dir: str):
         series_from_buckets,
     )
 
+    from matrixprofile_ray.util import safe_materialize
+
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
-    buckets = rollup_events(ds, H1).materialize()
+    buckets = safe_materialize(rollup_events(ds, H1))
     s_count = series_from_buckets(buckets, H1, value_col="count").to_pandas()
     s_mean = series_from_buckets(
         buckets, H1, value_col="mean_value"
@@ -973,8 +977,16 @@ def q_moving_avg_1h(sf_dir: str):
             "ma4": np.round(moving_average(c, 4), 6),
         })
 
-    df = buckets.groupby("event_type").map_groups(
-        ma, batch_format="pandas"
+    def ma_partition(part: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [ma(g) for _, g in part.groupby("event_type", sort=False)],
+            ignore_index=True,
+        )
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    df = partitioned_group_map(
+        buckets, ["event_type"], ma_partition
     ).to_pandas()
     df["bucket_ts"] = df["bucket_ts"].astype("int64")
     return df.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
@@ -1012,8 +1024,16 @@ def q_moving_minmax_1h(sf_dir: str):
             "mmed4": np.round(moving_median(c, 4), 6),
         })
 
-    df = buckets.groupby("event_type").map_groups(
-        mm, batch_format="pandas"
+    def mm_partition(part: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [mm(g) for _, g in part.groupby("event_type", sort=False)],
+            ignore_index=True,
+        )
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    df = partitioned_group_map(
+        buckets, ["event_type"], mm_partition
     ).to_pandas()
     df["bucket_ts"] = df["bucket_ts"].astype("int64")
     return df.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)

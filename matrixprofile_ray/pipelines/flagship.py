@@ -41,9 +41,11 @@ def bucket_tiers(pages_ds, tiers=("raw", "1h", "1d", "7d")) -> dict:
 
     ensure_hash_shuffle()
     out = {}
+    from matrixprofile_ray.util import safe_materialize
+
     base = rollup_tier(pages_ds, "raw")
     if len(tiers) > 1:
-        base = base.materialize()
+        base = safe_materialize(base)
     out["raw"] = base
     prev = base
     for tier in _CASCADE[1:]:
@@ -55,7 +57,7 @@ def bucket_tiers(pages_ds, tiers=("raw", "1h", "1d", "7d")) -> dict:
         # pin each intermediate ONCE and hand the pinned dataset to both the
         # next cascade step and the caller — otherwise every consumer
         # re-executes the tier's shuffle
-        prev = nxt.materialize() if tier != _CASCADE[-1] else nxt
+        prev = safe_materialize(nxt) if tier != _CASCADE[-1] else nxt
         if tier in tiers:
             out[tier] = prev
     return {t: out[t] for t in tiers if t in out}

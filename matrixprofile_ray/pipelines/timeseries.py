@@ -232,7 +232,9 @@ def profile_series(series_ds, window: int, key: str = "event_type",
     # materialize ONCE so the two filters below don't re-execute the
     # upstream series-assembly shuffle (round-2 VERDICT item 5); the
     # series tier is rollup-sized, not raw-event-sized
-    series_ds = series_ds.materialize()
+    from matrixprofile_ray.util import safe_materialize
+
+    series_ds = safe_materialize(series_ds)
     small = series_ds.filter(expr=f"n <= {int(giant_threshold)}")
     small_prof = small.map_batches(ProfileStage, **pool_kwargs)
     giant = series_ds.filter(expr=f"n > {int(giant_threshold)}")

@@ -4,7 +4,66 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["ensure_hash_shuffle", "partitioned_group_map"]
+__all__ = [
+    "ensure_hash_shuffle",
+    "partitioned_group_map",
+    "safe_materialize",
+    "scrub_empty_blocks",
+]
+
+
+def _hash_shuffle_active() -> bool:
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        return (
+            DataContext.get_current().shuffle_strategy
+            == ShuffleStrategy.HASH_SHUFFLE
+        )
+    except Exception:
+        return False
+
+
+def scrub_empty_blocks(mds):
+    """Drop degenerate empty blocks from a MATERIALIZED dataset.
+
+    Ray 2.49's hash shuffle/aggregate emits a zero-row block with an EMPTY
+    schema for every partition that received no rows (with P partitions and
+    k < P distinct keys, that is P-k poison blocks). Those blocks bypass
+    map_batches UDFs (the batcher yields no batch for them) and, when one
+    is the FIRST block a downstream ``Shuffle(key_columns=...)`` sees, its
+    empty schema is broadcast to every aggregator and empty partitions then
+    die in ``finalize`` with ``ArrowInvalid: No match for FieldRef`` on the
+    sort key (observed on the materialize-rollup -> series-assembly path).
+    Rebuilding the dataset from only the non-empty block refs (zero-copy:
+    the refs are reused, one tiny metadata task per block) removes the
+    poison. No-op when the dataset has no empty blocks or no rows at all.
+    """
+    import ray
+    import ray.data as rd
+
+    keep, dropped = [], 0
+    try:
+        for rb in mds.iter_internal_ref_bundles():
+            for block_ref, meta in rb.blocks:
+                if meta.num_rows:
+                    keep.append(block_ref)
+                else:
+                    dropped += 1
+    except Exception:
+        return mds
+    if not dropped or not keep:
+        return mds
+    return rd.from_arrow_refs(keep)
+
+
+def safe_materialize(ds):
+    """``ds.materialize()`` + :func:`scrub_empty_blocks`.
+
+    Use instead of bare ``materialize()`` whenever the materialized result
+    feeds another shuffle / groupby / join.
+    """
+    return scrub_empty_blocks(ds.materialize())
 
 
 def _cluster_cpus() -> int | None:
@@ -87,15 +146,28 @@ def partitioned_group_map(
     across partitions; partition count is cluster-sized, not
     data-sized, so the per-call overhead is O(cores).
 
+    When the DataContext is on HASH_SHUFFLE (``ensure_hash_shuffle`` on a
+    ≥8-CPU cluster) this routes through ``repartition(P, keys=keys,
+    sort=False)`` + a whole-block ``map_batches``: Ray hash-partitions the
+    key columns natively on Arrow (zero-copy take, no scatter stage, no
+    ``_part`` column shipped through the exchange) and ``fn`` is called
+    once per partition block. ``sort=False`` also removes the
+    ``Concat.finalize`` ``sort_by`` that dies with ``ArrowInvalid`` when a
+    zero-column empty block (Ray's empty-hash-partition artifact, see
+    :func:`scrub_empty_blocks`) wins the schema-broadcast race. On the
+    sort-shuffle fallback (small test clusters), the original
+    tag-with-``_part`` + ``groupby.map_groups`` path is used.
+
     ``partition_batch_format`` controls the format of the *scatter* stage
-    (the tag-with-``_part`` map). Ray's hash-shuffle scatter splits each
-    tagged block into ``num_partitions`` slices; splitting a pandas block
-    pays a frame-copy per slice (measured ~1.2 s/block at 256 partitions
-    on the flagship partials), while Arrow blocks split by zero-copy take.
+    in the fallback path. Ray's hash-shuffle scatter splits each tagged
+    block into ``num_partitions`` slices; splitting a pandas block pays a
+    frame-copy per slice, while Arrow blocks split by zero-copy take.
     Pass "pyarrow" when every column is scalar-typed (no object/ragged
-    columns); ``fn`` still receives a pandas frame either way. The ``_part``
-    value is identical in both formats (same ``pd.util.hash_array`` over
-    the same numpy arrays), so outputs do not depend on the choice.
+    columns); ``fn`` still receives a pandas frame either way. Partition
+    assignment differs between the two paths (Ray's internal key hash vs
+    ``pd.util.hash_array``) but outputs do not: ``fn`` must process each
+    key independently and vectorized, so which partition a key lands in is
+    invisible in the result.
     """
     import numpy as np
     import pandas as pd
@@ -109,6 +181,19 @@ def partitioned_group_map(
             )
         except Exception:
             num_partitions = 16
+
+    if _hash_shuffle_active():
+
+        def run_block(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                # typed empty partition block: nothing to fold, and fn
+                # implementations may not all tolerate empty input
+                return batch.iloc[:0]
+            return fn(batch)
+
+        return ds.repartition(
+            num_partitions, keys=keys, sort=False
+        ).map_batches(run_block, batch_size=None, batch_format="pandas")
 
     def _part_ids(cols: dict) -> np.ndarray:
         h = None
