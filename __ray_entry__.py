@@ -1245,6 +1245,65 @@ def entry() -> Any:
     return disc[["event_type", "w", "kind", "rank", "idx", "pair_idx", "score"]]
 
 
+def q_events_lag_stats(sf_dir: str):
+    """LAG-window deltas per user (value - lag(value) ordered by ts,
+    event_id), aggregated per user. Sums carried in exact int64
+    micro-units so parallel partials hash-match the sequential oracle."""
+    from matrixprofile_ray.stages.relational import windowed_lag_stats
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "value", "event_id"])
+    df = windowed_lag_stats(ds, "user_id", "ts", "value",
+                            "event_id").to_pandas()
+    for c in ("user_id", "n_deltas", "sum_delta_mu"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_running_sum(sf_dir: str):
+    """Cumulative SUM() OVER (PARTITION BY user ORDER BY ts, event_id) —
+    the prefix-scan operator, exact int64 micro-unit accumulation."""
+    from matrixprofile_ray.stages.relational import running_sum
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "value", "event_id"])
+    df = running_sum(ds, "user_id", "ts", "value", "event_id").to_pandas()
+    for c in ("event_id", "user_id", "cum_value_mu"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def q_customers_no_urgent(sf_dir: str):
+    """Anti join: customers with NO 1-URGENT order, counted per market
+    segment. One shared-key shuffle (no broadcast, no distinct
+    materialization); partial per-group counts → tiny final groupby."""
+    from matrixprofile_ray.stages.relational import anti_join_count
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.filter(
+        lambda r: r["o_orderpriority"] == "1-URGENT"
+    ).select_columns(["o_custkey"])
+    df = anti_join_count(cust, urgent, "c_custkey", "o_custkey",
+                         "c_mktsegment", out_count="n_customers").to_pandas()
+    df["n_customers"] = df["n_customers"].astype("int64")
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_term_df_top(sf_dir: str):
+    """Top-10 terms per language by document frequency (the df side of
+    tf-idf): in-batch doc-unique pairs → vocabulary-bounded groupby →
+    grouped top-k with token tie-break."""
+    from matrixprofile_ray.stages.text import term_df_top
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    df = term_df_top(ds, k=10).to_pandas()
+    for c in ("doc_freq", "rank"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1h": q_rollup_1h,
@@ -1299,6 +1358,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_events": q_percentile_events,
         "token_histogram": q_token_histogram,
         "events_topk_per_type": q_events_topk_per_type,
+        "events_lag_stats": q_events_lag_stats,
+        "events_running_sum": q_events_running_sum,
+        "customers_no_urgent": q_customers_no_urgent,
+        "term_df_top": q_term_df_top,
     }
 
 
@@ -1645,5 +1708,62 @@ def oracle_sql() -> dict[str, str]:
                 SELECT token, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY 1
             )
             SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20
+        """,
+        "events_lag_stats": """
+            WITH d AS (
+                SELECT user_id,
+                       value - lag(value) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS delta
+                FROM events
+            )
+            SELECT user_id,
+                   COUNT(*)::BIGINT AS n_deltas,
+                   ROUND(MIN(delta), 6) AS min_delta,
+                   ROUND(MAX(delta), 6) AS max_delta,
+                   CAST(SUM(CAST(ROUND(delta * 1000000, 0) AS BIGINT))
+                        AS BIGINT) AS sum_delta_mu
+            FROM d WHERE delta IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "events_running_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_value_mu
+            FROM events ORDER BY event_id
+        """,
+        "customers_no_urgent": """
+            SELECT c_mktsegment, COUNT(*)::BIGINT AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "term_df_top": """
+            WITH toks AS (
+                SELECT lang, doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS token
+                FROM documents
+            ), uniq AS (
+                SELECT DISTINCT lang, doc_id, token FROM toks
+                WHERE token <> ''
+            ), dfreq AS (
+                SELECT lang, token, COUNT(*)::BIGINT AS doc_freq
+                FROM uniq GROUP BY 1, 2
+            ), ranked AS (
+                SELECT lang, token, doc_freq,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY doc_freq DESC, token ASC
+                       ) - 1 AS rank
+                FROM dfreq
+            )
+            SELECT lang, doc_freq, token, rank
+            FROM ranked WHERE rank < 10 ORDER BY lang, rank
         """,
     }

@@ -21,7 +21,15 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["sessionize", "asof_join", "group_percentiles", "grouped_topk"]
+__all__ = [
+    "sessionize",
+    "asof_join",
+    "group_percentiles",
+    "grouped_topk",
+    "windowed_lag_stats",
+    "running_sum",
+    "anti_join_count",
+]
 
 
 def _ts_int(col) -> np.ndarray:
@@ -135,6 +143,157 @@ def asof_join(left_ds, right_ds, key: str, left_ts: str, right_ts: str,
     from matrixprofile_ray.util import partitioned_group_map
 
     return partitioned_group_map(tagged, ["k"], match_partition)
+
+
+def _mu_int64(x: np.ndarray, scale: float = 1e6) -> np.ndarray:
+    """round-half-away-from-zero(x*scale) as int64 — bit-matches SQL
+    ROUND(x*scale, 0) (DuckDB rounds half away from zero; numpy's
+    ``np.round`` is half-to-even). Summing these integers is
+    order-independent, so parallel partial sums hash-match a sequential
+    oracle at any scale — the same exact-integer-units trick as the
+    segment-join revenue fix."""
+    s = x * scale
+    return np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64)
+
+
+def windowed_lag_stats(ds, key_col: str, ts_col: str, value_col: str,
+                       order_col: str):
+    """LAG-window deltas per key: for each key ordered by (ts, order_col),
+    delta = value - lag(value); aggregated per key.
+
+    Output: key, n_deltas (int64), min_delta, max_delta (round 6),
+    sum_delta_mu (int64 micro-units — exact, order-free). Keys with a
+    single row produce no deltas and are dropped (SQL LAG ... WHERE
+    delta IS NOT NULL semantics).
+
+    One partition-cardinality shuffle; the whole partition is processed
+    with one lexsort + one shifted diff — no per-key Python work.
+    """
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        k = part[key_col].to_numpy()
+        t = _ts_int(part[ts_col])
+        o = part[order_col].to_numpy()
+        v = part[value_col].to_numpy(dtype="d")
+        idx = np.lexsort((o, t, k))
+        k, v = k[idx], v[idx]
+        same = k[1:] == k[:-1]
+        d = (v[1:] - v[:-1])[same]
+        dk = k[1:][same]
+        if len(dk) == 0:
+            return pd.DataFrame({
+                key_col: pd.Series(dtype=part[key_col].dtype),
+                "n_deltas": pd.Series(dtype="int64"),
+                "min_delta": pd.Series(dtype="float64"),
+                "max_delta": pd.Series(dtype="float64"),
+                "sum_delta_mu": pd.Series(dtype="int64"),
+            })
+        g = pd.DataFrame({
+            key_col: dk, "delta": d, "mu": _mu_int64(d)
+        }).groupby(key_col, as_index=False).agg(
+            n_deltas=("delta", "size"),
+            min_delta=("delta", "min"),
+            max_delta=("delta", "max"),
+            sum_delta_mu=("mu", "sum"),
+        )
+        g["n_deltas"] = g["n_deltas"].astype(np.int64)
+        g["min_delta"] = np.round(g["min_delta"].to_numpy(dtype="d"), 6)
+        g["max_delta"] = np.round(g["max_delta"].to_numpy(dtype="d"), 6)
+        g["sum_delta_mu"] = g["sum_delta_mu"].astype(np.int64)
+        return g
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    return partitioned_group_map(ds, [key_col], fold)
+
+
+def running_sum(ds, key_col: str, ts_col: str, value_col: str,
+                id_col: str):
+    """Cumulative windowed sum per key (SQL ``SUM(...) OVER (PARTITION BY
+    key ORDER BY ts, id ROWS UNBOUNDED PRECEDING)``) — the prefix-scan
+    operator. Values are accumulated in exact int64 micro-units so the
+    running totals are bit-deterministic under any partitioning.
+
+    Output: one row per input row — id, key, cum_value_mu (int64).
+    """
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        k = part[key_col].to_numpy()
+        t = _ts_int(part[ts_col])
+        o = part[id_col].to_numpy()
+        v = part[value_col].to_numpy(dtype="d")
+        idx = np.lexsort((o, t, k))
+        k, o, v = k[idx], o[idx], v[idx]
+        mu = _mu_int64(v)
+        cs = np.cumsum(mu)
+        starts = np.ones(len(k), dtype=bool)
+        starts[1:] = k[1:] != k[:-1]
+        start_idx = np.flatnonzero(starts)
+        seg_len = np.diff(np.append(start_idx, len(k)))
+        offsets = np.repeat(cs[start_idx] - mu[start_idx], seg_len)
+        return pd.DataFrame({
+            id_col: o,
+            key_col: k,
+            "cum_value_mu": (cs - offsets).astype(np.int64),
+        })
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    return partitioned_group_map(ds, [key_col], fold)
+
+
+def anti_join_count(left_ds, right_ds, left_key: str, right_key: str,
+                    group_col: str, out_count: str = "n"):
+    """Distributed anti join + group count: left rows whose key has NO
+    match in the right side, counted per ``group_col``.
+
+    Topology: both sides tag into a shared hash partitioning on the key
+    (ONE shuffle — no broadcast of either side, no distinct
+    materialization); each partition drops left rows whose key appears on
+    its right rows (keys never split across partitions) and emits partial
+    per-group counts, so the final groupby is group-cardinality-sized.
+    """
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": batch[left_key].to_numpy(),
+            "g": batch[group_col].astype(str).to_numpy(),
+            "side": np.zeros(len(batch), dtype=np.int8),
+        })
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        # in-batch unique: shrinks the exchange to distinct keys per block
+        ks = np.unique(batch[right_key].to_numpy())
+        return pd.DataFrame({
+            "k": ks,
+            "g": np.full(len(ks), "", dtype=object),
+            "side": np.ones(len(ks), dtype=np.int8),
+        })
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pandas").union(
+        right_ds.map_batches(tag_right, batch_format="pandas")
+    )
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        is_right = part["side"].to_numpy() == 1
+        right_keys = part.loc[is_right, "k"].to_numpy()
+        left = part.loc[~is_right]
+        keep = left.loc[~left["k"].isin(right_keys)]
+        partial = keep.groupby("g", as_index=False).size()
+        return pd.DataFrame({
+            group_col: partial["g"].to_numpy(),
+            out_count: partial["size"].to_numpy(dtype=np.int64),
+        })
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    partials = partitioned_group_map(tagged, ["k"], fold)
+    totals = partials.groupby(group_col).sum(out_count)
+
+    def rename(tbl) -> pd.DataFrame:
+        return tbl.rename(columns={f"sum({out_count})": out_count})
+
+    return totals.map_batches(rename, batch_format="pandas")
 
 
 def grouped_topk(ds, key_col: str, value_col: str, k: int = 3,

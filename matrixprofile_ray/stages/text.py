@@ -19,6 +19,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "token_histogram",
+    "term_df_top",
     "TOP_STOPWORDS",
 ]
 
@@ -149,6 +150,53 @@ def token_histogram(ds, k: int = 20):
         .limit(k)
     )
     return top
+
+
+def term_df_top(ds, k: int = 10, group_col: str = "lang"):
+    """Top-k terms per language by DOCUMENT frequency (the df table of
+    tf-idf; integer counts, so the ranking is exactly reproducible).
+
+    Partial-combine topology: each batch computes doc-unique (lang, token)
+    pairs in one flatten + drop_duplicates and emits per-batch df partials
+    — the groupby exchange is vocabulary-bounded, not corpus-bounded.
+    Ties break by token ascending (deterministic top-k).
+    """
+    import pandas as pd
+
+    from matrixprofile_ray.stages.relational import grouped_topk
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])), r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        pairs = pd.DataFrame({
+            "doc": doc_idx,
+            group_col: np.asarray(batch[group_col])[doc_idx],
+            "token": np.asarray(pc.list_flatten(toks)),
+        })
+        pairs = pairs[pairs["token"] != ""]
+        pairs = pairs.drop_duplicates(["doc", group_col, "token"])
+        cnt = pairs.groupby([group_col, "token"], as_index=False).size()
+        return pa.table({
+            group_col: pa.array(cnt[group_col], pa.string()),
+            "token": pa.array(cnt["token"], pa.string()),
+            "doc_freq": pa.array(cnt["size"].to_numpy(dtype=np.int64)),
+        })
+
+    totals = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby([group_col, "token"])
+        .sum("doc_freq")
+    )
+
+    def rename(tbl: pd.DataFrame) -> pd.DataFrame:
+        return tbl.rename(columns={"sum(doc_freq)": "doc_freq"})
+
+    totals = totals.map_batches(rename, batch_format="pandas")
+    return grouped_topk(totals, group_col, "doc_freq", k=k,
+                        extra_cols=("token",))
 
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)

@@ -194,3 +194,149 @@ class TestTokenHistogram:
         out = token_histogram(ds, k=3).to_pandas()
         assert out["token"].tolist() == ["a", "b", "c"]  # c before z on tie
         assert out["cnt"].tolist() == [3, 2, 1]
+
+
+class TestWindowedLagStats:
+    def test_matches_pandas_reference(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import windowed_lag_stats
+
+        rng = np.random.default_rng(7)
+        n = 500
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 20, n),
+            "ts": rng.integers(0, 10_000, n).astype(np.int64),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+            "event_id": np.arange(n, dtype=np.int64),
+        })
+        got = windowed_lag_stats(
+            rd.from_pandas(df, override_num_blocks=4),
+            "user_id", "ts", "value", "event_id",
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+
+        ref_rows = []
+        for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+            d = g["value"].diff().dropna().to_numpy()
+            if len(d) == 0:
+                continue
+            ref_rows.append({
+                "user_id": uid,
+                "n_deltas": len(d),
+                "min_delta": round(d.min(), 6),
+                "max_delta": round(d.max(), 6),
+                "sum_delta_mu": int(
+                    np.copysign(np.floor(np.abs(d * 1e6) + 0.5), d)
+                    .astype(np.int64).sum()
+                ),
+            })
+        want = pd.DataFrame(ref_rows).sort_values(
+            "user_id"
+        ).reset_index(drop=True)
+        assert len(got) == len(want)
+        for c in ("n_deltas", "sum_delta_mu"):
+            np.testing.assert_array_equal(got[c].to_numpy(),
+                                          want[c].to_numpy())
+        for c in ("min_delta", "max_delta"):
+            np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy())
+
+    def test_single_row_keys_dropped(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import windowed_lag_stats
+
+        df = pd.DataFrame({
+            "user_id": [1, 2, 2],
+            "ts": np.array([0, 0, 10], dtype=np.int64),
+            "value": [5.0, 1.0, 4.0],
+            "event_id": np.array([0, 1, 2], dtype=np.int64),
+        })
+        got = windowed_lag_stats(
+            rd.from_pandas(df), "user_id", "ts", "value", "event_id"
+        ).to_pandas()
+        assert got["user_id"].tolist() == [2]
+        assert got["sum_delta_mu"].tolist() == [3_000_000]
+
+
+class TestRunningSum:
+    def test_prefix_scan_per_key(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import running_sum
+
+        rng = np.random.default_rng(11)
+        n = 300
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 10, n),
+            "ts": rng.integers(0, 5_000, n).astype(np.int64),
+            "value": np.round(rng.uniform(-50, 50, n), 2),
+            "event_id": np.arange(n, dtype=np.int64),
+        })
+        got = running_sum(
+            rd.from_pandas(df, override_num_blocks=3),
+            "user_id", "ts", "value", "event_id",
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert len(got) == n
+
+        mu = np.copysign(np.floor(np.abs(df["value"].to_numpy() * 1e6) + 0.5),
+                         df["value"].to_numpy()).astype(np.int64)
+        ref = df.assign(mu=mu).sort_values(["ts", "event_id"])
+        want = ref.groupby("user_id")["mu"].cumsum()
+        ref = ref.assign(cum=want).sort_values("event_id")
+        np.testing.assert_array_equal(
+            got["cum_value_mu"].to_numpy(), ref["cum"].to_numpy()
+        )
+
+
+class TestAntiJoinCount:
+    def test_counts_unmatched_left(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import anti_join_count
+
+        left = pd.DataFrame({
+            "ck": [1, 2, 3, 4, 5, 6],
+            "seg": ["A", "A", "B", "B", "B", "C"],
+        })
+        right = pd.DataFrame({"ok": [2, 3, 3, 99]})
+        got = anti_join_count(
+            rd.from_pandas(left, override_num_blocks=2),
+            rd.from_pandas(right, override_num_blocks=2),
+            "ck", "ok", "seg", out_count="n",
+        ).to_pandas().sort_values("seg").reset_index(drop=True)
+        assert got["seg"].tolist() == ["A", "B", "C"]
+        assert got["n"].tolist() == [1, 2, 1]
+
+    def test_all_matched_is_empty(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import anti_join_count
+
+        left = pd.DataFrame({"ck": [1, 2], "seg": ["A", "B"]})
+        right = pd.DataFrame({"ok": [1, 2]})
+        got = anti_join_count(
+            rd.from_pandas(left), rd.from_pandas(right),
+            "ck", "ok", "seg",
+        ).to_pandas()
+        assert len(got) == 0
+
+
+class TestTermDfTop:
+    def test_doc_frequency_not_term_frequency(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import term_df_top
+
+        ds = rd.from_pandas(pd.DataFrame({
+            "lang": ["en", "en", "en", "de"],
+            # "a" appears 3x in one doc but df counts DOCS: df(a)=1 < df(b)=2
+            "text": ["a a a b", "b c", "c d", "x y"],
+        }), override_num_blocks=2)
+        out = term_df_top(ds, k=2).to_pandas().sort_values(
+            ["lang", "rank"]
+        ).reset_index(drop=True)
+        en = out[out["lang"] == "en"]
+        assert en["token"].tolist() == ["b", "c"]
+        assert en["doc_freq"].tolist() == [2, 2]
+        de = out[out["lang"] == "de"]
+        assert de["token"].tolist() == ["x", "y"]
