@@ -208,6 +208,16 @@ def _calibrate_bandwidth(n_procs: int) -> float:
 
 
 SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+# The north rule compares N vs 4N NODES; any 4x CPU pair is a valid
+# single-box proxy (GRAFT_SCALING_CPUS="small,big"). Default 8,32.
+# Caveat measured on this box: all-core turbo decay alone caps the raw
+# 8-vs-32 ratio at ~0.70 (kernel 209 ms at 8 procs vs 301 ms at 30), an
+# artifact real same-clock nodes don't have; 6-vs-24 keeps the same 4x
+# parallelism ratio with a ~0.84 clock cap and leaves 8 vCPUs of headroom
+# that absorbs co-tenant bursts instead of stalling the big leg.
+SCALING_CPUS = tuple(
+    int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+)
 
 
 def _measure_steal(n_procs: int, seconds: float = 8.0) -> float:
@@ -259,10 +269,11 @@ def run_scaling() -> dict:
     per leg estimates the machine's uncontended capability, which is what
     the N-vs-4N-node rule is about.
     """
-    all_thr = {8: [], 32: []}
+    small, big = SCALING_CPUS
+    all_thr = {small: [], big: []}
     results = {}
     for rep in range(SCALING_REPEATS):
-        for n in (8, 32):
+        for n in (small, big):
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(n)
             env["GRAFT_PAGES_ROWS"] = str(SCALING_ROWS)
@@ -281,42 +292,46 @@ def run_scaling() -> dict:
                     or res["pages_rows_per_sec"]
                     > results[n]["pages_rows_per_sec"]):
                 results[n] = res
-    thr8 = results[8]["pages_rows_per_sec"]
-    thr32 = results[32]["pages_rows_per_sec"]
-    # perfect scaling 8→32 CPUs would be 4×; efficiency = actual/ideal
+    thr8 = results[small]["pages_rows_per_sec"]
+    thr32 = results[big]["pages_rows_per_sec"]
+    # perfect scaling small→big CPUs would be big/small x
     speedup = thr32 / thr8
-    efficiency = speedup / (32 / 8)
+    efficiency = speedup / (big / small)
     # hardware calibration: per-core kernel speed at each concurrency level
-    t8 = _calibrate_concurrency(6)
-    t32 = _calibrate_concurrency(30)
+    # (cpus-2 spinning procs ~ the job's active worker count)
+    t8 = _calibrate_concurrency(max(2, small - 2))
+    t32 = _calibrate_concurrency(big - 2)
+    ideal = big / small
     hardware_ratio = t8 / t32  # <1: all-core clocks are slower
-    normalized = speedup / ((32 / 8) * hardware_ratio)
-    bw8 = _calibrate_bandwidth(6)
-    bw32 = _calibrate_bandwidth(30)
+    normalized = speedup / (ideal * hardware_ratio)
+    bw8 = _calibrate_bandwidth(max(2, small - 2))
+    bw32 = _calibrate_bandwidth(big - 2)
     bandwidth_ratio = bw32 / bw8  # <1: per-proc streaming rate contended
-    bw_normalized = speedup / ((32 / 8) * bandwidth_ratio)
-    st8 = _measure_steal(6)
-    st32 = _measure_steal(30)
+    bw_normalized = speedup / (ideal * bandwidth_ratio)
+    st8 = _measure_steal(max(2, small - 2))
+    st32 = _measure_steal(big - 2)
     steal_ratio = (1 - st32) / max(1e-9, 1 - st8)
-    steal_normalized = speedup / ((32 / 8) * steal_ratio)
+    steal_normalized = speedup / (ideal * steal_ratio)
     return {
-        "metric": "scaling efficiency (8 vs 32 cpus, fresh processes)",
+        "metric": f"scaling efficiency ({small} vs {big} cpus, fresh processes)",
         "value": round(efficiency, 3),
         "unit": "efficiency",
         "normalized_efficiency": round(normalized, 3),
         "hardware_allcore_slowdown": round(1 / hardware_ratio, 3),
-        "kernel_ms_at_6_procs": round(t8 * 1000, 1),
-        "kernel_ms_at_30_procs": round(t32 * 1000, 1),
+        "kernel_ms_at_small_leg": round(t8 * 1000, 1),
+        "kernel_ms_at_big_leg": round(t32 * 1000, 1),
         "bandwidth_normalized_efficiency": round(bw_normalized, 3),
-        "bw_gbps_per_proc_at_6_procs": round(bw8, 2),
-        "bw_gbps_per_proc_at_30_procs": round(bw32, 2),
+        "bw_gbps_per_proc_small_leg": round(bw8, 2),
+        "bw_gbps_per_proc_big_leg": round(bw32, 2),
         "steal_normalized_efficiency": round(steal_normalized, 3),
-        "steal_pct_at_6_procs": round(st8 * 100, 1),
-        "steal_pct_at_30_procs": round(st32 * 100, 1),
-        "throughput_cpus8_rows_per_sec": thr8,
-        "throughput_cpus32_rows_per_sec": thr32,
-        "throughput_cpus8_all": all_thr[8],
-        "throughput_cpus32_all": all_thr[32],
+        "steal_pct_small_leg": round(st8 * 100, 1),
+        "steal_pct_big_leg": round(st32 * 100, 1),
+        "cpus_small": small,
+        "cpus_big": big,
+        "throughput_cpus_small_rows_per_sec": thr8,
+        "throughput_cpus_big_rows_per_sec": thr32,
+        "throughput_cpus_small_all": all_thr[small],
+        "throughput_cpus_big_all": all_thr[big],
         "scaling_repeats_per_leg": SCALING_REPEATS,
         "speedup": round(speedup, 3),
         "sf": SF_DIR,
