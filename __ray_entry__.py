@@ -1304,6 +1304,35 @@ def q_term_df_top(sf_dir: str):
     return df.sort_values(["lang", "rank"]).reset_index(drop=True)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-duplicate clustering: 3-gram Jaccard pairs (vs the 25-doc
+    reference set, threshold 0.05) → connected components via iterated
+    min-label propagation → (doc_id, cluster_id = min doc in component)."""
+    import ray
+
+    from matrixprofile_ray.stages.dedup import (
+        _ngram_hashes,
+        connected_components,
+        ngram_jaccard,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    head = ds.take(25)
+    other = {r["doc_id"]: _ngram_hashes(r["text"], 3) for r in head}
+    ref = ray.put(other)
+
+    def run(batch):
+        return ngram_jaccard(batch, ray.get(ref))
+
+    pairs = ds.map_batches(run, batch_format="pyarrow").filter(
+        lambda r: r["jaccard"] > 0.05
+    )
+    df = connected_components(pairs).to_pandas()
+    for c in ("doc_id", "cluster_id"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1h": q_rollup_1h,
@@ -1362,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_sum": q_events_running_sum,
         "customers_no_urgent": q_customers_no_urgent,
         "term_df_top": q_term_df_top,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1765,5 +1795,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, doc_freq, token, rank
             FROM ranked WHERE rank < 10 ORDER BY lang, rank
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE g AS (
+                SELECT doc_id,
+                       list_distinct([
+                           words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                           FOR i IN generate_series(1, greatest(len(words) - 2, 0))
+                       ]) AS grams
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(trim(text), '\\s+') AS words
+                    FROM documents
+                )
+            ), ref AS (
+                SELECT doc_id, grams FROM g ORDER BY doc_id LIMIT 25
+            ), pairs AS (
+                SELECT r.doc_id AS a, d.doc_id AS b
+                FROM ref r JOIN g d ON r.doc_id < d.doc_id
+                WHERE len(r.grams) > 0 AND len(d.grams) > 0
+                  AND len(list_intersect(r.grams, d.grams)) * 1.0 /
+                      (len(r.grams) + len(d.grams)
+                       - len(list_intersect(r.grams, d.grams))) > 0.05
+            ), edges AS (
+                SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(n, m) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+            )
+            SELECT n AS doc_id,
+                   LEAST(n, MIN(m))::BIGINT AS cluster_id
+            FROM reach GROUP BY n ORDER BY doc_id
         """,
     }

@@ -40,6 +40,7 @@ __all__ = [
     "simhash_dedup",
     "simhash_neardup",
     "ngram_jaccard",
+    "connected_components",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -604,3 +605,112 @@ def ngram_jaccard(batch: pa.Table, other: dict[int, str], n: int = 3) -> pa.Tabl
         "b": pa.array(rows["b"], pa.int64()),
         "jaccard": pa.array(rows["jaccard"], pa.float64()),
     })
+
+
+def connected_components(pairs_ds, col_a: str = "a", col_b: str = "b",
+                         max_iters: int = 12):
+    """Connected components over a near-duplicate pair Dataset — the
+    clustering step of a dedup pipeline (pairs → clusters → one canonical
+    doc per cluster).
+
+    Iterated min-label propagation: every node starts labeled with the
+    minimum of itself and its direct neighbors, then each round delivers
+    labels across edges and takes the per-node min (two
+    partition-cardinality shuffles per round: one keyed on the sending
+    node, one on the receiving node). Converges in O(component diameter)
+    rounds — near-dup clusters are dense and shallow (diameter ≤ ~4), and
+    convergence is detected by the label-sum fixpoint (min-propagation
+    strictly decreases the sum until stable). The edge set is
+    candidate-pair-sized (bounded by LSH verification upstream), NOT
+    corpus-sized; labels are two int64 columns per node.
+
+    Returns a Dataset of (doc_id, cluster_id) — cluster_id is the
+    component's minimum node id, deterministic under any partitioning.
+    """
+    from matrixprofile_ray.util import partitioned_group_map
+
+    def symmetrize(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[col_a].to_numpy(dtype=np.int64)
+        b = batch[col_b].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "node": np.concatenate([a, b]),
+            "nbr": np.concatenate([b, a]),
+        })
+
+    edges = pairs_ds.map_batches(
+        symmetrize, batch_format="pandas"
+    ).materialize()
+
+    def init_fold(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("node", as_index=False)["nbr"].min()
+        return pd.DataFrame({
+            "node": g["node"].to_numpy(dtype=np.int64),
+            "label": np.minimum(g["node"].to_numpy(dtype=np.int64),
+                                g["nbr"].to_numpy(dtype=np.int64)),
+        })
+
+    labels = partitioned_group_map(edges, ["node"], init_fold).materialize()
+
+    def label_sum(lds) -> int:
+        return int(sum(
+            int(b["label"].sum())
+            for b in lds.iter_batches(batch_format="pandas",
+                                      batch_size=65536)
+        ))
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["node"].to_numpy(dtype=np.int64),
+            "u": b["nbr"].to_numpy(dtype=np.int64),
+            "lbl": np.zeros(len(b), dtype=np.int64),
+            "side": np.zeros(len(b), dtype=np.int8),
+        })
+
+    def tag_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["node"].to_numpy(dtype=np.int64),
+            "u": b["node"].to_numpy(dtype=np.int64),
+            "lbl": b["label"].to_numpy(dtype=np.int64),
+            "side": np.ones(len(b), dtype=np.int8),
+        })
+
+    def propagate(part: pd.DataFrame) -> pd.DataFrame:
+        """Send each node's label along its out-edges; keep the node's own
+        label too. Partial per-node min here; the global min happens in
+        the receiving-side fold."""
+        is_lbl = part["side"].to_numpy() == 1
+        lab = part.loc[is_lbl]
+        lookup = pd.Series(lab["lbl"].to_numpy(), index=lab["k"].to_numpy())
+        e = part.loc[~is_lbl]
+        out = pd.DataFrame({
+            "node": np.concatenate([e["u"].to_numpy(dtype=np.int64),
+                                    lab["u"].to_numpy(dtype=np.int64)]),
+            "label": np.concatenate([
+                lookup.loc[e["k"].to_numpy()].to_numpy(dtype=np.int64),
+                lab["lbl"].to_numpy(dtype=np.int64),
+            ]),
+        })
+        return out.groupby("node", as_index=False)["label"].min()
+
+    def min_fold(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("node", as_index=False)["label"].min()
+
+    prev = label_sum(labels)
+    for _ in range(max_iters):
+        tagged = edges.map_batches(tag_edges, batch_format="pandas").union(
+            labels.map_batches(tag_labels, batch_format="pandas")
+        )
+        sent = partitioned_group_map(tagged, ["k"], propagate)
+        labels = partitioned_group_map(sent, ["node"], min_fold).materialize()
+        cur = label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["node"].to_numpy(dtype=np.int64),
+            "cluster_id": b["label"].to_numpy(dtype=np.int64),
+        })
+
+    return labels.map_batches(rename, batch_format="pandas")

@@ -539,3 +539,42 @@ class TestMinhashEstimator:
             assert abs(est - true_j) < max(3.5 * sigma, 0.06), (
                 f"frac={frac}: est={est:.3f} true={true_j:.3f}"
             )
+
+
+class TestConnectedComponents:
+    def test_chain_and_clique_merge(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.dedup import connected_components
+
+        # components: {1,2,3,4} (chain), {10,11,12} (clique), {20,21}
+        pairs = pd.DataFrame({
+            "a": [1, 2, 3, 10, 10, 11, 20],
+            "b": [2, 3, 4, 11, 12, 12, 21],
+        })
+        got = connected_components(
+            rd.from_pandas(pairs, override_num_blocks=3)
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20,
+                21: 20}
+        assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+    def test_long_path_converges(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.dedup import connected_components
+
+        # a path 0-1-2-...-9 needs multiple propagation rounds
+        n = 10
+        pairs = pd.DataFrame({
+            "a": np.arange(n - 1, dtype=np.int64),
+            "b": np.arange(1, n, dtype=np.int64),
+        })
+        got = connected_components(
+            rd.from_pandas(pairs, override_num_blocks=2)
+        ).to_pandas()
+        assert sorted(got["doc_id"]) == list(range(n))
+        assert set(got["cluster_id"]) == {0}
