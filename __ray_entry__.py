@@ -1333,6 +1333,196 @@ def q_dedup_clusters(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_stats_moments_events(sf_dir: str):
+    """Per-type skewness / excess kurtosis via the distributed
+    exact-integer power-sum combiner (stages.relational.grouped_moments);
+    the finalize expression is mirrored verbatim in the DuckDB oracle."""
+    from matrixprofile_ray.stages.relational import grouped_moments
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    df = grouped_moments(ds, "event_type", "value").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def q_type_corr_pairs(sf_dir: str):
+    """Pairwise Pearson correlation between per-type hourly count series
+    (inner-join alignment on bucket): rollup → one bucket_ts-keyed shuffle
+    → k×k integer matmul partials → exact-integer finalize."""
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+    from matrixprofile_ray.stages.relational import series_corr_pairs
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+    df = series_corr_pairs(buckets, "event_type", "bucket_ts", "count")
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def q_brand_revenue(sf_dir: str):
+    """Broadcast hash join lineitem ⋈ part (small side shipped once via
+    ray.put, searchsorted lookup per batch — the big side never shuffles)
+    + per-brand revenue in exact integer cents×basis-points."""
+    from matrixprofile_ray.stages.relational import (
+        _mu_int64,
+        _round6_away,
+        broadcast_join_sum,
+    )
+
+    small = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def weight(batch: pd.DataFrame) -> np.ndarray:
+        cents = _mu_int64(batch["l_extendedprice"].to_numpy(dtype="d"), 100.0)
+        bp = _mu_int64(batch["l_discount"].to_numpy(dtype="d"), 100.0)
+        return cents * (100 - bp)
+
+    out = broadcast_join_sum(
+        li,
+        small["p_partkey"].to_numpy(),
+        small["p_brand"].to_numpy(dtype=object),
+        "l_partkey",
+        weight_fn=weight,
+    )
+    df = pd.DataFrame({
+        "p_brand": out["group"],
+        "n_items": out["n"].astype("int64"),
+        "revenue": _round6_away(
+            out["total"].to_numpy(dtype="d") / 10000.0
+        ),
+    })
+    return df.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_props_extract(sf_dir: str):
+    """Regex field extraction from the JSON props column (vectorized
+    pyarrow extract_regex) + per-type exact-integer aggregation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from matrixprofile_ray.stages.relational import _round6_away
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch["props"], r"(?P<k>[0-9]+)"), "k"
+            ),
+            pa.int64(),
+        )
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "k": k.to_pandas(),
+        })
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_k=("sum_k", "sum"),
+        min_k=("min_k", "min"), max_k=("max_k", "max"),
+    )
+    for c in ("n", "sum_k", "min_k", "max_k"):
+        g[c] = g[c].astype("int64")
+    g["mean_k"] = _round6_away(
+        g["sum_k"].to_numpy(dtype="d") / g["n"].to_numpy(dtype="d")
+    )
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
+def q_ann_lsh_coord(sf_dir: str):
+    """Coordinate-sign LSH ANN: bucket = sign bits of the first 6
+    embedding dims (a deterministic, SQL-expressible LSH family — unlike
+    the random-hyperplane `ann_lsh`, the oracle can recompute the buckets
+    exactly). Top-10 by cosine per query among same-bucket vectors;
+    ranking uses ROUND(sim, 6) with vec_id tie-break on BOTH sides.
+
+    Scale shape: candidates never shuffle — each batch emits at most
+    k rows per query (batch-local top-k), final top-k is query-sized."""
+    from matrixprofile_ray.stages.ann import _embed_matrix, _normalize
+
+    queries = _query_vectors(sf_dir)
+    qids = sorted(queries)
+    qraw = np.vstack([queries[q] for q in qids])
+    nbits, k = 6, 10
+    weights = 1 << np.arange(nbits, dtype=np.int64)
+
+    def buckets_of(mat: np.ndarray) -> np.ndarray:
+        return ((mat[:, :nbits] > 0).astype(np.int64) * weights).sum(axis=1)
+
+    qbuck = buckets_of(qraw)
+    qmat = _normalize(qraw)
+    bucket_to_q: dict[int, list[int]] = {}
+    for i, b in enumerate(qbuck):
+        bucket_to_q.setdefault(int(b), []).append(i)
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        raw = _embed_matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy()
+        bucket = buckets_of(raw)
+        vn = _normalize(raw)
+        frames = []
+        for b, qidx in bucket_to_q.items():
+            mask = bucket == b
+            if not mask.any():
+                continue
+            mids = ids[mask]
+            mv = vn[mask]
+            for qi in qidx:
+                sims = np.round(mv @ qmat[qi], 6)
+                top = np.lexsort((mids, -sims))[:k]
+                frames.append(pd.DataFrame({
+                    "query_id": np.int64(qids[qi]),
+                    "vec_id": mids[top].astype(np.int64),
+                    "sim": sims[top],
+                }))
+        if not frames:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(scan, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id", sort=False).cumcount().astype("int64")
+    for c in ("query_id", "vec_id"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_docs_sample_hash(sf_dir: str):
+    """Deterministic arithmetic-hash sampling: keep documents where
+    (doc_id * 2654435761) % 1000 < 50 — the reproducible ~5% sample
+    operator (same rows on any cluster, any partitioning, any engine)."""
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        keep = (d * 2654435761) % 1000 < 50
+        return batch.filter(pa.array(keep))
+
+    df = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1h": q_rollup_1h,
@@ -1392,6 +1582,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": q_customers_no_urgent,
         "term_df_top": q_term_df_top,
         "dedup_clusters": q_dedup_clusters,
+        "stats_moments_events": q_stats_moments_events,
+        "type_corr_pairs": q_type_corr_pairs,
+        "brand_revenue": q_brand_revenue,
+        "props_extract": q_props_extract,
+        "docs_sample_hash": q_docs_sample_hash,
+        "ann_lsh_coord": q_ann_lsh_coord,
     }
 
 
@@ -1827,5 +2023,124 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id,
                    LEAST(n, MIN(m))::BIGINT AS cluster_id
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        # Exact HUGEINT power sums in fixed-point cents; the double
+        # finalize expression mirrors grouped_moments verbatim (only
+        # +,-,*,/ and sqrt — all IEEE correctly rounded, no pow), so the
+        # engine and oracle produce bit-identical doubles.
+        "stats_moments_events": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS HUGEINT) AS cv
+                FROM events
+            ), s AS (
+                SELECT event_type,
+                       count(*)::BIGINT AS n,
+                       CAST(sum(cv) AS DOUBLE) AS f1,
+                       CAST(sum(cv*cv) AS DOUBLE) AS f2,
+                       CAST(sum(cv*cv*cv) AS DOUBLE) AS f3,
+                       CAST(sum(cv*cv*cv*cv) AS DOUBLE) AS f4
+                FROM c GROUP BY 1
+            ), m AS (
+                SELECT event_type, n, CAST(n AS DOUBLE) AS fn,
+                       f1, f2, f3, f4, f1 / CAST(n AS DOUBLE) AS mm
+                FROM s
+            ), cm AS (
+                SELECT event_type, n, fn,
+                       (f2 - f1*mm) / fn AS m2,
+                       (f3 - 3.0*mm*f2 + 2.0*fn*mm*mm*mm) / fn AS m3,
+                       (f4 - 4.0*mm*f3 + 6.0*mm*mm*f2
+                        - 3.0*fn*mm*mm*mm*mm) / fn AS m4
+                FROM m
+            )
+            SELECT event_type, n,
+                   ROUND(m3 / (m2 * sqrt(m2))
+                         * sqrt(fn*(fn-1.0)) / (fn-2.0), 6) AS skew,
+                   ROUND(((fn+1.0) * (m4/(m2*m2) - 3.0) + 6.0)
+                         * (fn-1.0) / ((fn-2.0)*(fn-3.0)), 6) AS kurt
+            FROM cm
+        """,
+        "type_corr_pairs": f"""
+            WITH h AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       count(*)::HUGEINT AS c
+                FROM events GROUP BY 1, 2
+            ), p AS (
+                SELECT a.event_type AS key_a, b.event_type AS key_b,
+                       a.c AS ca, b.c AS cb
+                FROM h a JOIN h b
+                  ON a.bucket_ts = b.bucket_ts
+                 AND a.event_type < b.event_type
+            ), s AS (
+                SELECT key_a, key_b,
+                       count(*)::HUGEINT AS n,
+                       sum(ca) AS sx, sum(cb) AS sy,
+                       sum(ca*cb) AS sxy,
+                       sum(ca*ca) AS sx2, sum(cb*cb) AS sy2
+                FROM p GROUP BY 1, 2
+            )
+            SELECT key_a, key_b, n::BIGINT AS n,
+                   ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+                         (sqrt(CAST(n*sx2 - sx*sx AS DOUBLE))
+                          * sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))), 6)
+                       AS corr_v
+            FROM s
+        """,
+        "brand_revenue": """
+            SELECT p_brand, count(*)::BIGINT AS n_items,
+                   ROUND(CAST(SUM(
+                       CAST(round(l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(round(l_discount * 100) AS HUGEINT))
+                   ) AS DOUBLE) / 10000.0, 6) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "props_extract": """
+            WITH k AS (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(k)::BIGINT AS sum_k,
+                   min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
+                   ROUND(CAST(sum(k) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS mean_k
+            FROM k GROUP BY 1
+        """,
+        "docs_sample_hash": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 1000 < 50
+        """,
+        "ann_lsh_coord": """
+            WITH b AS (
+                SELECT vec_id, embedding,
+                       ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                      + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                      + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                      + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                      + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END))
+                           AS bucket
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qvec,
+                       bucket AS qbucket
+                FROM b ORDER BY vec_id LIMIT 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       ROUND(list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) AS sim
+                FROM b e JOIN q ON e.bucket = q.qbucket
+            ), ranked AS (
+                SELECT query_id, vec_id, sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id ASC
+                       ) - 1 AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank < 10
         """,
     }

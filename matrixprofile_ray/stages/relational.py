@@ -29,6 +29,9 @@ __all__ = [
     "windowed_lag_stats",
     "running_sum",
     "anti_join_count",
+    "grouped_moments",
+    "series_corr_pairs",
+    "broadcast_join_sum",
 ]
 
 
@@ -341,3 +344,241 @@ def group_percentiles(ds, key_col: str, value_col: str,
     from matrixprofile_ray.util import partitioned_group_map
 
     return partitioned_group_map(ds, [key_col], pct_partition)
+
+
+def _round6_away(x: np.ndarray | float) -> np.ndarray | float:
+    """ROUND(x, 6) with SQL half-away-from-zero semantics."""
+    return _mu_int64(np.asarray(x, dtype="d"), 1e6) / 1e6
+
+
+_HILO_SHIFT = np.int64(32)
+_HILO_MASK = np.int64((1 << 32) - 1)
+
+
+def grouped_moments(ds, key_col: str, value_col: str, scale: float = 100.0):
+    """Distributed per-key skewness / excess kurtosis from EXACT integer
+    power sums — the higher-moment extension of the rollup combiner.
+
+    Values are fixed-point integers (``round(v*scale)``; events carry
+    2-decimal values so scale=100 is lossless; domain |c| < 2^21,
+    enforced). Each batch emits per-key partial sums of c, c^2, c^3,
+    c^4; the 3rd/4th powers are carried as (hi, lo) int64 limbs at 2^32
+    — c^4 itself can exceed int64 so its limbs are formed via an exact
+    2^31-split decomposition of c^2 without ever materializing c^4 —
+    and sum without overflow for ~2^31 batches (lo is re-normalised per
+    batch).
+    Integer sums are order-independent, so the parallel fold is
+    bit-deterministic at any partitioning — and the finalize expression
+    below (plain +,-,*,/ and sqrt, all IEEE correctly rounded; no pow)
+    is mirrored verbatim in the DuckDB oracle, giving hash-identical
+    doubles instead of "close at 6 decimals".
+
+    Skew/kurtosis are scale-invariant, so working in fixed-point units
+    changes nothing. Formulas are the bias-corrected sample versions
+    DuckDB's skewness()/kurtosis() implement.
+
+    Output: key, n (int64), skew, kurt (round 6, half-away).
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = _mu_int64(batch[value_col].to_numpy(dtype="d"), scale)
+        if len(c) and np.abs(c).max() >= (1 << 21):
+            # c^4 exactness bound: the two-limb decomposition below is
+            # exact for |c| < 2^21 (~2e7 in value units at scale=100).
+            # Fail loudly instead of silently wrapping.
+            raise ValueError(
+                "grouped_moments: |value*scale| must be < 2^21; "
+                f"got {np.abs(c).max()}"
+            )
+        c2, c3 = c * c, c * c * c
+        # c^4 can exceed int64 (wraps at |c| > ~55k): form its 2^32-split
+        # limbs exactly WITHOUT ever materializing c^4. With c2 = a*2^31+b
+        # (a,b < 2^31): c4 = a^2*2^62 + a*b*2^32 + b^2, so
+        #   lo = b^2 mod 2^32,  hi = a^2*2^30 + a*b + (b^2 >> 32)
+        # — every term < 2^61 for the 2^21 domain, all exact int64.
+        a = c2 >> np.int64(31)
+        b = c2 & np.int64((1 << 31) - 1)
+        b2 = b * b
+        c4_lo = b2 & _HILO_MASK
+        c4_hi = (a * a) << np.int64(30)
+        c4_hi = c4_hi + a * b + (b2 >> _HILO_SHIFT)
+        df = pd.DataFrame({
+            key_col: batch[key_col].to_numpy(),
+            "n": np.ones(len(c), dtype=np.int64),
+            "s1": c,
+            "s2_hi": c2 >> _HILO_SHIFT, "s2_lo": c2 & _HILO_MASK,
+            "s3_hi": c3 >> _HILO_SHIFT, "s3_lo": c3 & _HILO_MASK,
+            "s4_hi": c4_hi, "s4_lo": c4_lo,
+        })
+        g = df.groupby(key_col, as_index=False).sum()
+        for p in ("s2", "s3", "s4"):  # renormalise: carry lo overflow to hi
+            lo = g[f"{p}_lo"].to_numpy()
+            g[f"{p}_hi"] = g[f"{p}_hi"].to_numpy() + (lo >> _HILO_SHIFT)
+            g[f"{p}_lo"] = lo & _HILO_MASK
+        return g
+
+    def finalize(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in part.groupby(key_col, sort=False):
+            n = int(g["n"].sum())
+            s1 = int(g["s1"].sum())
+            # exact arbitrary-precision reconstruction
+            s2 = (int(g["s2_hi"].sum()) << 32) + int(g["s2_lo"].sum())
+            s3 = (int(g["s3_hi"].sum()) << 32) + int(g["s3_lo"].sum())
+            s4 = (int(g["s4_hi"].sum()) << 32) + int(g["s4_lo"].sum())
+            # float64 finalize — mirrored EXACTLY in the SQL oracle
+            fn, f1, f2, f3, f4 = (
+                float(n), float(s1), float(s2), float(s3), float(s4)
+            )
+            mm = f1 / fn
+            m2 = (f2 - f1 * mm) / fn
+            m3 = (f3 - 3.0 * mm * f2 + 2.0 * fn * mm * mm * mm) / fn
+            m4 = (
+                f4 - 4.0 * mm * f3 + 6.0 * mm * mm * f2
+                - 3.0 * fn * mm * mm * mm * mm
+            ) / fn
+            skew = (
+                m3 / (m2 * np.sqrt(m2))
+                * np.sqrt(fn * (fn - 1.0)) / (fn - 2.0)
+            )
+            kurt = (
+                ((fn + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0)
+                * (fn - 1.0) / ((fn - 2.0) * (fn - 3.0))
+            )
+            rows.append({
+                key_col: k, "n": n,
+                "skew": float(_round6_away(skew)),
+                "kurt": float(_round6_away(kurt)),
+            })
+        out = pd.DataFrame(rows)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partitioned_group_map(partials, [key_col], finalize)
+
+
+def series_corr_pairs(ds, key_col: str, ts_col: str, value_col: str):
+    """Pairwise Pearson correlation between keyed integer series aligned
+    on a shared time axis (inner-join semantics: only timestamps where
+    BOTH keys have a value contribute to that pair).
+
+    Topology: ONE hash shuffle on the time column; each partition pivots
+    its rows to a (timestamps x keys) matrix and computes ALL pairwise
+    co-presence counts / sums / cross-products with k x k integer matmuls
+    — per-pair partials, not per-pair passes. Partials are exact int64
+    (values are counts), so the cross-partition combine is
+    order-independent; the finalize expression is mirrored verbatim in
+    the SQL oracle for hash-identical doubles.
+
+    Partitioning assumption (documented per the engine convention): the
+    KEY count k is bounded (pair output is k^2); the TIME axis is what
+    scales and it is the shuffle key.
+
+    Output: key_a < key_b, n (co-present timestamps, int64),
+    corr (round 6, half-away).
+    """
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.pivot_table(
+            index=ts_col, columns=key_col, values=value_col, aggfunc="sum"
+        )
+        if p.shape[1] < 2:
+            return pd.DataFrame({
+                "key_a": pd.Series(dtype="object"),
+                "key_b": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "sx": pd.Series(dtype="int64"),
+                "sy": pd.Series(dtype="int64"),
+                "sxy": pd.Series(dtype="int64"),
+                "sx2": pd.Series(dtype="int64"),
+                "sy2": pd.Series(dtype="int64"),
+            })
+        keys = [str(c) for c in p.columns]
+        x = p.to_numpy(dtype="d")
+        present = ~np.isnan(x)
+        xi = np.where(present, x, 0.0).astype(np.int64)
+        mi = present.astype(np.int64)
+        n = mi.T @ mi
+        sxy = xi.T @ xi
+        sx = xi.T @ mi          # sum of x where both i and j present
+        sx2 = (xi * xi).T @ mi
+        ii, jj = np.triu_indices(len(keys), k=1)
+        ka = np.asarray(keys, dtype=object)
+        return pd.DataFrame({
+            "key_a": ka[ii], "key_b": ka[jj],
+            "n": n[ii, jj],
+            "sx": sx[ii, jj], "sy": sx[jj, ii],
+            "sxy": sxy[ii, jj],
+            "sx2": sx2[ii, jj], "sy2": sx2[jj, ii],
+        })
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    partials = partitioned_group_map(ds, [ts_col], fold).to_pandas()
+    # pair-cardinality combine (k^2 rows x nparts): exact integer sums,
+    # then ONE int->double conversion per term — mirrors the oracle's
+    # CAST(exact_integer_expression AS DOUBLE) so products never round
+    # twice (fn*fsxy in float can differ from float(n*sxy) by 1 ulp)
+    g = partials.groupby(["key_a", "key_b"], as_index=False).sum()
+    corrs = []
+    for _, r in g.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sx2, sy2 = int(r["sxy"]), int(r["sx2"]), int(r["sy2"])
+        num = float(n * sxy - sx * sy)
+        vx = float(n * sx2 - sx * sx)
+        vy = float(n * sy2 - sy * sy)
+        corrs.append(num / (np.sqrt(vx) * np.sqrt(vy)))
+    out = pd.DataFrame({
+        "key_a": g["key_a"], "key_b": g["key_b"],
+        "n": g["n"].astype(np.int64),
+        "corr_v": _round6_away(np.asarray(corrs)),
+    })
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
+def broadcast_join_sum(big_ds, small_keys: np.ndarray, small_vals: np.ndarray,
+                       join_col: str, group_vals: np.ndarray | None = None,
+                       weight_fn=None, weight_cols=()):
+    """Broadcast hash join + grouped exact-integer sum: the small side
+    (key -> group label) is shipped ONCE via ray.put and looked up inside
+    every map_batches task with a vectorized searchsorted — no shuffle of
+    the big side at all (contrast Dataset.join's all-to-all: at 100 TB the
+    big side never moves, only per-batch partial sums do).
+
+    ``weight_fn(batch) -> int64 array`` computes the exact-integer measure
+    per big-side row (e.g. revenue in cents x discount basis points);
+    integer partials make the parallel sum order-independent.
+
+    Output (pandas): group, n (int64), total (int64 exact units).
+    """
+    import ray
+
+    order = np.argsort(small_keys, kind="stable")
+    handle = ray.put((small_keys[order],
+                      (small_vals if group_vals is None else group_vals)[order]))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys_sorted, grp_sorted = ray.get(handle)
+        k = batch[join_col].to_numpy()
+        pos = np.searchsorted(keys_sorted, k)
+        pos_c = np.minimum(pos, len(keys_sorted) - 1)
+        hit = keys_sorted[pos_c] == k
+        w = weight_fn(batch).astype(np.int64)
+        df = pd.DataFrame({
+            "group": grp_sorted[pos_c[hit]],
+            "w": w[hit],
+        })
+        g = df.groupby("group", as_index=False).agg(
+            n=("w", "size"), total=("w", "sum")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    partials = big_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = partials.groupby("group", as_index=False).sum()
+    out["n"] = out["n"].astype(np.int64)
+    out["total"] = out["total"].astype(np.int64)
+    return out.sort_values("group").reset_index(drop=True)

@@ -340,3 +340,154 @@ class TestTermDfTop:
         assert en["doc_freq"].tolist() == [2, 2]
         de = out[out["lang"] == "de"]
         assert de["token"].tolist() == ["x", "y"]
+
+
+class TestGroupedMoments:
+    def test_matches_scipy_formulas(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import grouped_moments
+
+        rng = np.random.default_rng(7)
+        # 2-decimal values like the events table
+        vals = np.round(rng.gamma(2.0, 25.0, size=4000), 2)
+        keys = rng.choice(["a", "b", "c"], size=4000)
+        ds = rd.from_pandas(
+            pd.DataFrame({"k": keys, "v": vals})
+        ).repartition(7)
+        out = grouped_moments(ds, "k", "v").to_pandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        for _, r in out.iterrows():
+            x = vals[keys == r["k"]]
+            n = len(x)
+            m = x.mean()
+            m2 = ((x - m) ** 2).mean()
+            m3 = ((x - m) ** 3).mean()
+            m4 = ((x - m) ** 4).mean()
+            skew = (m3 / m2**1.5) * np.sqrt(n * (n - 1)) / (n - 2)
+            kurt = (
+                ((n + 1) * (m4 / m2**2 - 3) + 6)
+                * (n - 1) / ((n - 2) * (n - 3))
+            )
+            assert r["n"] == n
+            np.testing.assert_allclose(r["skew"], skew, atol=2e-6)
+            np.testing.assert_allclose(r["kurt"], kurt, atol=2e-6)
+
+    def test_partition_invariant_bitwise(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import grouped_moments
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "k": rng.choice(["x", "y"], size=500),
+            "v": np.round(rng.normal(50, 20, size=500), 2),
+        })
+        outs = []
+        for nparts in (1, 3, 11):
+            ds = rd.from_pandas(df).repartition(nparts)
+            o = grouped_moments(ds, "k", "v").to_pandas()
+            outs.append(o.sort_values("k").reset_index(drop=True))
+        for o in outs[1:]:
+            # exact integer partials ⇒ bit-identical at any partitioning
+            pd.testing.assert_frame_equal(outs[0], o)
+
+
+class TestSeriesCorrPairs:
+    def test_matches_numpy_corrcoef(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import series_corr_pairs
+
+        rng = np.random.default_rng(11)
+        t = np.arange(200, dtype=np.int64)
+        rows = []
+        series = {}
+        for key in ("a", "b", "c"):
+            v = rng.integers(1, 100, size=200)
+            series[key] = v
+            for ti, vi in zip(t, v):
+                rows.append({"k": key, "t": ti, "v": int(vi)})
+        ds = rd.from_pandas(pd.DataFrame(rows)).repartition(5)
+        out = series_corr_pairs(ds, "k", "t", "v")
+        assert list(out["key_a"]) == ["a", "a", "b"]
+        assert list(out["key_b"]) == ["b", "c", "c"]
+        for _, r in out.iterrows():
+            expect = np.corrcoef(series[r["key_a"]], series[r["key_b"]])[0, 1]
+            np.testing.assert_allclose(r["corr_v"], expect, atol=2e-6)
+            assert r["n"] == 200
+
+    def test_inner_alignment_drops_missing(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import series_corr_pairs
+
+        # b missing at t=2: only t∈{0,1} are co-present
+        df = pd.DataFrame({
+            "k": ["a", "a", "a", "b", "b"],
+            "t": np.array([0, 1, 2, 0, 1], dtype=np.int64),
+            "v": np.array([1, 2, 3, 10, 30], dtype=np.int64),
+        })
+        ds = rd.from_pandas(df).repartition(3)
+        out = series_corr_pairs(ds, "k", "t", "v")
+        assert len(out) == 1
+        assert out.iloc[0]["n"] == 2
+        np.testing.assert_allclose(out.iloc[0]["corr_v"], 1.0, atol=1e-9)
+
+
+class TestBroadcastJoinSum:
+    def test_grouped_exact_sum(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import broadcast_join_sum
+
+        big = pd.DataFrame({
+            "fk": np.array([1, 2, 3, 1, 9], dtype=np.int64),  # 9 unmatched
+            "x": np.array([100, 200, 300, 400, 500], dtype=np.int64),
+        })
+        ds = rd.from_pandas(big).repartition(3)
+        out = broadcast_join_sum(
+            ds,
+            np.array([3, 1, 2], dtype=np.int64),
+            np.array(["g2", "g1", "g1"], dtype=object),
+            "fk",
+            weight_fn=lambda b: b["x"].to_numpy(),
+        )
+        got = {r["group"]: (r["n"], r["total"]) for _, r in out.iterrows()}
+        assert got == {"g1": (3, 700), "g2": (1, 300)}
+
+    def test_large_values_no_int64_wrap(self, ray_session):
+        """c=56021 → c^4 = 9.85e18 > int64 max: the limb decomposition
+        must stay exact where a direct c4 = (c*c)**2 wraps negative."""
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import grouped_moments
+
+        rng = np.random.default_rng(5)
+        vals = np.round(rng.uniform(0, 600, size=300), 2)
+        vals[7] = 560.21  # the sf0.1 click max that exposed the wrap
+        df = pd.DataFrame({"k": ["a"] * 300, "v": vals})
+        out = grouped_moments(rd.from_pandas(df).repartition(4), "k", "v")
+        r = out.to_pandas().iloc[0]
+        x = np.round(vals * 100)  # exact fixed-point
+        n = len(x)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        skew = (m3 / m2**1.5) * np.sqrt(n * (n - 1)) / (n - 2)
+        kurt = (
+            ((n + 1) * (m4 / m2**2 - 3) + 6) * (n - 1) / ((n - 2) * (n - 3))
+        )
+        np.testing.assert_allclose(r["skew"], skew, atol=2e-6)
+        np.testing.assert_allclose(r["kurt"], kurt, atol=2e-6)
+
+    def test_domain_guard_raises(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import grouped_moments
+
+        df = pd.DataFrame({"k": ["a", "a", "a", "a"],
+                           "v": [1.0, 2.0, 3.0, 2.0**22]})
+        with pytest.raises(Exception, match="2\\^21|RayTaskError|ValueError"):
+            grouped_moments(rd.from_pandas(df), "k", "v").to_pandas()
