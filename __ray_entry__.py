@@ -1437,6 +1437,75 @@ def q_props_extract(sf_dir: str):
     return g.sort_values("event_type").reset_index(drop=True)
 
 
+def q_segment_lineitem_revenue(sf_dir: str):
+    """Three-table pipeline mixing both join strategies: customer
+    (small) BROADCAST-mapped onto orders, then orders ⋈ lineitem as a
+    big×big SHUFFLE hash join (Dataset.join on l_orderkey), aggregating
+    discounted revenue per market segment in exact integer
+    cents×basis-points. The TPC-H Q3 shape without the date filters."""
+    import ray
+
+    from matrixprofile_ray.stages.relational import (
+        _mu_int64,
+        _round6_away,
+    )
+
+    customer = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    order_c = np.argsort(customer["c_custkey"].to_numpy(), kind="stable")
+    cust_handle = ray.put((
+        customer["c_custkey"].to_numpy()[order_c],
+        customer["c_mktsegment"].to_numpy(dtype=object)[order_c],
+    ))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def tag_segment(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, segs = ray.get(cust_handle)
+        ok = batch["o_custkey"].to_numpy()
+        pos = np.minimum(np.searchsorted(keys, ok), len(keys) - 1)
+        hit = keys[pos] == ok  # inner-join semantics on a missing FK
+        return pd.DataFrame({
+            "o_orderkey": batch["o_orderkey"].to_numpy()[hit],
+            "c_mktsegment": segs[pos[hit]],
+        })
+
+    tagged_orders = orders.map_batches(tag_segment, batch_format="pandas")
+    lineitem = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = lineitem.join(
+        tagged_orders, join_type="inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = _mu_int64(batch["l_extendedprice"].to_numpy(dtype="d"), 100.0)
+        bp = _mu_int64(batch["l_discount"].to_numpy(dtype="d"), 100.0)
+        g = pd.DataFrame({
+            "c_mktsegment": batch["c_mktsegment"].to_numpy(),
+            "cbp": cents * (100 - bp),
+        }).groupby("c_mktsegment", as_index=False).agg(
+            n_items=("cbp", "size"), cbp=("cbp", "sum")
+        )
+        g["n_items"] = g["n_items"].astype(np.int64)
+        return g
+
+    partials = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    g = partials.groupby("c_mktsegment", as_index=False).agg(
+        n_items=("n_items", "sum"), cbp=("cbp", "sum")
+    )
+    df = pd.DataFrame({
+        "c_mktsegment": g["c_mktsegment"],
+        "n_items": g["n_items"].astype("int64"),
+        "revenue": _round6_away(g["cbp"].to_numpy(dtype="d") / 10000.0),
+    })
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def q_ann_lsh_coord(sf_dir: str):
     """Coordinate-sign LSH ANN: bucket = sign bits of the first 6
     embedding dims (a deterministic, SQL-expressible LSH family — unlike
@@ -1588,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": q_props_extract,
         "docs_sample_hash": q_docs_sample_hash,
         "ann_lsh_coord": q_ann_lsh_coord,
+        "segment_lineitem_revenue": q_segment_lineitem_revenue,
     }
 
 
@@ -2142,5 +2212,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank < 10
+        """,
+        "segment_lineitem_revenue": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_items,
+                   ROUND(CAST(SUM(
+                       CAST(round(l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(round(l_discount * 100) AS HUGEINT))
+                   ) AS DOUBLE) / 10000.0, 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
     }

@@ -113,18 +113,21 @@ def series_all_tiers(pages_ds, tiers=("raw", "1h", "1d", "7d"),
     # partition-level processing: all domains of a hash partition in one
     # call (per-domain map_groups paid Ray bookkeeping + a one-row pandas
     # frame per (domain, tier) — measurable at 8k+ domains).
-    # cpus*8 partitions (not the cpus*2 default): this fold is minutes of
-    # CPU with Zipf-skewed per-domain cost; more, smaller partitions keep
-    # the largest cluster leg in the many-waves regime so stragglers
-    # amortize (2 waves at cpus*2 put a 9.6 s max task on the critical
-    # path at 32 CPUs; matches the source plan's parallelism_mult=8)
+    # cpus*2 partitions (round-3 remeasure, was cpus*8): the hash-shuffle
+    # map side pays per-slice push costs proportional to blocks×parts, and
+    # that dominated the exchange — parts=cpus*2 with blocks=cpus/2 source
+    # blocks measured 12.1 s vs 27.8 s at 32 cpus (and 39.0 vs 65.9 at 8)
+    # for the full 1M-page series phase. Fold stragglers stay amortized:
+    # a partition holds ~domains/parts hash-mixed domains, so Zipf skew
+    # averages out (max fold task 2.05 s at 256 parts → ~8 s at 64; still
+    # a clear net win).
     cpus = _cluster_cpus() or 8
     # partials are pure scalar Arrow (domain, bucket_ts, moments): keep the
-    # scatter Arrow-native so the 256-way split is zero-copy take, not a
-    # pandas frame copy per slice (measured ~1.2 s/block at 64 blocks)
+    # scatter Arrow-native so the split is zero-copy take, not a pandas
+    # frame copy per slice (measured ~1.2 s/block at 64 blocks)
     return partitioned_group_map(
         partials, ["domain"], pipeline.process_partition,
-        num_partitions=max(16, cpus * 8),
+        num_partitions=max(32, cpus * 2),
         partition_batch_format="pyarrow",
     )
 

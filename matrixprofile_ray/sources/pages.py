@@ -171,10 +171,21 @@ def pages_dataset(n_rows: int, seed: int = 42,
     # Ray snapshots the DataContext when the SOURCE dataset is created —
     # shuffle settings applied later (by downstream builders) do not reach
     # this plan, so the context must be right before rd.range.
-    # parallelism_mult=8: the downstream per-domain cascade fold is the
-    # CPU-heaviest exchange in the engine; many small partitions keep every
-    # cluster size in the many-waves regime (see ensure_hash_shuffle).
-    ensure_hash_shuffle(parallelism_mult=8)
+    # parallelism_mult=2 (round-3 remeasure): the hash-shuffle map side
+    # pays a push/ack per (source block × partition) slice, and that —
+    # not fold stragglers — dominated the exchange (map wall 2.2 s vs
+    # 0.9 s cpu at blocks=64/parts=256). blocks=cpus/2 + parts=cpus*2 cut
+    # the 1M-page series phase 27.8 s → 12.1 s at 32 cpus AND
+    # 65.9 s → 39.0 s at 8 cpus (phase scaling 0.59 → 0.81); the Zipf
+    # fold straggler the old parts=cpus*8 guarded against is bounded by
+    # hash-mixing ~domains/parts domains per partition.
+    ensure_hash_shuffle(parallelism_mult=2)
+    if override_num_blocks is None:
+        from matrixprofile_ray.util import _cluster_cpus
+
+        cpus = _cluster_cpus()
+        if cpus is not None and cpus >= 8:
+            override_num_blocks = max(8, cpus // 2)
     ds = rd.range(n_rows, override_num_blocks=override_num_blocks)
 
     def _batch(batch: dict) -> pa.Table:

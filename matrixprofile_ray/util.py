@@ -92,15 +92,15 @@ def ensure_hash_shuffle(parallelism_mult: int = 2) -> None:
     out the compute actor pools. Safe to call repeatedly and before
     ray.init(); silently a no-op on Ray versions without the strategy.
 
-    ``parallelism_mult`` sets shuffle partitions per CPU. Default 2 keeps
-    per-exchange fixed cost low for the small relational queries; plans
-    whose post-shuffle fold is CPU-heavy and key-skewed (the flagship's
-    per-domain cascade: minutes of CPU, Zipf domain sizes) pass 8 so every
-    leg of a scaling pair runs many waves and stragglers amortize — at
-    cpus*2 a 32-CPU run is just 2 waves and the slowest partition sets the
-    wall (measured 9.6 s max vs 4.2 s mean per task). Must be set BEFORE
-    the source dataset is created: Ray snapshots the DataContext into the
-    plan at source creation.
+    ``parallelism_mult`` sets shuffle partitions per CPU. Default 2: the
+    hash-shuffle map side pays a push/ack per (source block × partition)
+    slice, so partition count is a direct tax on every map task — the
+    round-3 sweep measured the flagship exchange at 12.1 s with
+    parts=cpus*2 vs 27.8 s with the earlier parts=cpus*8 at 32 cpus
+    (39.0 vs 65.9 at 8 cpus). Fold stragglers stay amortized because a
+    partition hash-mixes ~keys/parts keys. Must be set BEFORE the source
+    dataset is created: Ray snapshots the DataContext into the plan at
+    source creation.
     """
     try:
         from ray.data.context import DataContext, ShuffleStrategy
