@@ -1437,6 +1437,90 @@ def q_props_extract(sf_dir: str):
     return g.sort_values("event_type").reset_index(drop=True)
 
 
+def _brute_mp_w4(c: np.ndarray):
+    """Brute-force z-norm Euclidean MP, w=4, ez=1, constant windows
+    dropped. Float64 expressions are parenthesized EXACTLY like the
+    profile_brute_1h oracle SQL (left-associated 4-term sums) so both
+    sides produce bit-identical doubles. Returns (idx, mp, pi) or None
+    for series too short to have any valid pair."""
+    from matrixprofile_ray.stages.relational import _round6_away
+
+    if len(c) < 7:      # need >= 2 windows outside the ez
+        return None
+    c0, c1, c2, c3 = c[:-3], c[1:-2], c[2:-1], c[3:]
+    mu = (((c0 + c1) + c2) + c3) / 4.0
+    d0, d1, d2, d3 = c0 - mu, c1 - mu, c2 - mu, c3 - mu
+    var = (((d0 * d0 + d1 * d1) + d2 * d2) + d3 * d3) / 4.0
+    sd = np.sqrt(var)
+    keep = sd > 0
+    idx = np.arange(len(mu))[keep]
+    z0, z1 = (d0 / sd)[keep], (d1 / sd)[keep]
+    z2, z3 = (d2 / sd)[keep], (d3 / sd)[keep]
+    e0 = z0[:, None] - z0[None, :]
+    e1 = z1[:, None] - z1[None, :]
+    e2 = z2[:, None] - z2[None, :]
+    e3 = z3[:, None] - z3[None, :]
+    s = ((e0 * e0 + e1 * e1) + e2 * e2) + e3 * e3
+    dist = np.sqrt(s)
+    excl = np.abs(idx[:, None] - idx[None, :]) <= 1
+    dist[excl] = np.inf
+    # rank on ROUND(dist, 6) with smallest-j tie-break — exactly the
+    # oracle's ORDER BY ROUND(dist,6), j (half-away rounding)
+    finite = np.isfinite(dist)
+    dr = np.where(finite, 0.0, np.inf)
+    dr[finite] = _round6_away(dist[finite])
+    row_min = dr.min(axis=1)
+    pi = idx[np.argmax(dr == row_min[:, None], axis=1)]
+    ok = np.isfinite(row_min)
+    return (idx[ok].astype(np.int64), row_min[ok], pi[ok].astype(np.int64))
+
+
+def q_profile_brute_1h(sf_dir: str):
+    """Matrix profile UNDER THE DUCKDB ORACLE: brute-force z-normalized
+    Euclidean MP (w=4, self-join exclusion zone |i-j| <= 1 = ceil(w/4),
+    constant windows dropped) over each type's hourly count series.
+
+    Every float64 operation is written in the SAME order as the oracle
+    SQL (4-term left-associated sums, elementwise broadcasting — no
+    matmul, whose reduction order would differ), so the two sides produce
+    bit-identical doubles and the value hash is exact, not "close at 6
+    decimals". A pytest cross-checks this brute kernel against core.mpx
+    on the same series. Scale note: brute MP is O(len²) per series — this
+    query exists for oracle visibility of the MP semantics; the O(n)
+    mpx/stomp kernels remain the production path."""
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+    from matrixprofile_ray.util import partitioned_group_map
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+
+    def brute(part: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for key, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("bucket_ts")
+            res = _brute_mp_w4(g["count"].to_numpy(dtype="d"))
+            if res is None:
+                continue
+            idx, mp, pi = res
+            frames.append(pd.DataFrame({
+                "event_type": key,
+                "idx": idx, "mp": mp, "pi": pi,
+            }))
+        if not frames:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "idx": pd.Series(dtype="int64"),
+                "mp": pd.Series(dtype="float64"),
+                "pi": pd.Series(dtype="int64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    df = partitioned_group_map(buckets, ["event_type"], brute).to_pandas()
+    for c in ("idx", "pi"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["event_type", "idx"]).reset_index(drop=True)
+
+
 def q_segment_lineitem_revenue(sf_dir: str):
     """Three-table pipeline mixing both join strategies: customer
     (small) BROADCAST-mapped onto orders, then orders ⋈ lineitem as a
@@ -1658,6 +1742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_hash": q_docs_sample_hash,
         "ann_lsh_coord": q_ann_lsh_coord,
         "segment_lineitem_revenue": q_segment_lineitem_revenue,
+        "profile_brute_1h": q_profile_brute_1h,
     }
 
 
@@ -2223,5 +2308,70 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        # Brute-force z-normalized Euclidean matrix profile, w=4, self-join
+        # ez = ceil(w/4) = 1. Every float64 expression is parenthesized in
+        # the SAME order as the engine kernel (left-associated 4-term sums,
+        # sqrt of the single accumulated value), so both sides produce
+        # bit-identical doubles.
+        "profile_brute_1h": f"""
+            WITH h AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       count(*)::DOUBLE AS c
+                FROM events GROUP BY 1, 2
+            ), seq AS (
+                SELECT event_type, c, bucket_ts,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY bucket_ts
+                       ) - 1 AS pos,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM h
+            ), win AS (
+                SELECT event_type, pos AS i, n,
+                       c AS c0,
+                       lead(c, 1) OVER w AS c1,
+                       lead(c, 2) OVER w AS c2,
+                       lead(c, 3) OVER w AS c3
+                FROM seq
+                WINDOW w AS (PARTITION BY event_type ORDER BY pos)
+            ), zd AS (
+                SELECT event_type, i,
+                       c0 - mu AS d0, c1 - mu AS d1,
+                       c2 - mu AS d2, c3 - mu AS d3
+                FROM (
+                    SELECT event_type, i, c0, c1, c2, c3,
+                           (((c0 + c1) + c2) + c3) / 4.0 AS mu
+                    FROM win WHERE c3 IS NOT NULL AND n >= 7
+                )
+            ), z AS (
+                SELECT event_type, i,
+                       d0 / sd AS z0, d1 / sd AS z1,
+                       d2 / sd AS z2, d3 / sd AS z3
+                FROM (
+                    SELECT *, sqrt(
+                        (((d0*d0 + d1*d1) + d2*d2) + d3*d3) / 4.0
+                    ) AS sd FROM zd
+                ) WHERE sd > 0
+            ), pairs AS (
+                SELECT a.event_type, a.i, b.i AS j,
+                       ROUND(sqrt(
+                           (((a.z0-b.z0)*(a.z0-b.z0)
+                             + (a.z1-b.z1)*(a.z1-b.z1))
+                            + (a.z2-b.z2)*(a.z2-b.z2))
+                           + (a.z3-b.z3)*(a.z3-b.z3)
+                       ), 6) AS dist
+                FROM z a JOIN z b
+                  ON a.event_type = b.event_type AND abs(a.i - b.i) > 1
+            ), ranked AS (
+                SELECT event_type, i, j, dist,
+                       row_number() OVER (
+                           PARTITION BY event_type, i
+                           ORDER BY dist ASC, j ASC
+                       ) AS rn
+                FROM pairs
+            )
+            SELECT event_type, i AS idx, dist AS mp, j AS pi
+            FROM ranked WHERE rn = 1
         """,
     }

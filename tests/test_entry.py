@@ -76,3 +76,34 @@ class TestContract:
         want = want.sort_values("doc_id").reset_index(drop=True)
         np.testing.assert_array_equal(got["doc_id"], want["doc_id"])
         np.testing.assert_array_equal(got["dup_count"], want["dup_count"])
+
+
+@needs_testdata
+class TestBruteMpOracleKernel:
+    def test_brute_w4_matches_mpx(self):
+        """The oracle-visible brute MP (w=4, ez=1) must agree with the
+        production mpx kernel on the same series — linking the DuckDB
+        oracle gate to the O(n) kernel the flagship actually runs."""
+        import matrixprofile_ray.core as core
+        from __ray_entry__ import _brute_mp_w4
+
+        rng = np.random.default_rng(17)
+        c = np.round(rng.gamma(3.0, 10.0, size=300))  # count-like series
+        idx, mp_brute, pi_brute = _brute_mp_w4(c)
+        assert len(idx) == len(c) - 3  # no constant windows in this draw
+        mp, pi = core.mpx(c, 4)
+        np.testing.assert_allclose(mp_brute, mp[idx], atol=2e-6)
+        # neighbor indices agree wherever the nearest neighbor is unique
+        # at 6-decimal resolution
+        unique = np.abs(mp_brute - np.round(mp[idx], 6)) < 1e-9
+        agree = (pi_brute == pi[idx]) | ~unique
+        assert agree.mean() > 0.95
+
+    def test_constant_windows_dropped(self):
+        from __ray_entry__ import _brute_mp_w4
+
+        c = np.array([5.0] * 4 + [1, 9, 2, 8, 3, 7, 4, 6, 1, 9], dtype="d")
+        res = _brute_mp_w4(c)
+        assert res is not None
+        idx, mp, pi = res
+        assert 0 not in idx  # the all-constant leading window is dropped
