@@ -1437,16 +1437,11 @@ def q_props_extract(sf_dir: str):
     return g.sort_values("event_type").reset_index(drop=True)
 
 
-def _brute_mp_w4(c: np.ndarray):
-    """Brute-force z-norm Euclidean MP, w=4, ez=1, constant windows
-    dropped. Float64 expressions are parenthesized EXACTLY like the
-    profile_brute_1h oracle SQL (left-associated 4-term sums) so both
-    sides produce bit-identical doubles. Returns (idx, mp, pi) or None
-    for series too short to have any valid pair."""
-    from matrixprofile_ray.stages.relational import _round6_away
-
-    if len(c) < 7:      # need >= 2 windows outside the ez
-        return None
+def _zwin_w4(c: np.ndarray):
+    """z-normalized w=4 windows of a series, constant windows dropped.
+    Float64 expressions are parenthesized EXACTLY like the brute-MP
+    oracle SQL (left-associated 4-term sums) so both sides produce
+    bit-identical doubles. Returns (idx, [z0, z1, z2, z3])."""
     c0, c1, c2, c3 = c[:-3], c[1:-2], c[2:-1], c[3:]
     mu = (((c0 + c1) + c2) + c3) / 4.0
     d0, d1, d2, d3 = c0 - mu, c1 - mu, c2 - mu, c3 - mu
@@ -1454,25 +1449,46 @@ def _brute_mp_w4(c: np.ndarray):
     sd = np.sqrt(var)
     keep = sd > 0
     idx = np.arange(len(mu))[keep]
-    z0, z1 = (d0 / sd)[keep], (d1 / sd)[keep]
-    z2, z3 = (d2 / sd)[keep], (d3 / sd)[keep]
-    e0 = z0[:, None] - z0[None, :]
-    e1 = z1[:, None] - z1[None, :]
-    e2 = z2[:, None] - z2[None, :]
-    e3 = z3[:, None] - z3[None, :]
+    sdk = sd[keep]
+    return idx, [d[keep] / sdk for d in (d0, d1, d2, d3)]
+
+
+def _brute_dist_w4(za: list, zb: list) -> np.ndarray:
+    """All-pairs z-norm Euclidean distance between two window sets —
+    elementwise broadcasting, never matmul (whose reduction order would
+    break the bit-identical mirror with the SQL oracle)."""
+    e0 = za[0][:, None] - zb[0][None, :]
+    e1 = za[1][:, None] - zb[1][None, :]
+    e2 = za[2][:, None] - zb[2][None, :]
+    e3 = za[3][:, None] - zb[3][None, :]
     s = ((e0 * e0 + e1 * e1) + e2 * e2) + e3 * e3
-    dist = np.sqrt(s)
-    excl = np.abs(idx[:, None] - idx[None, :]) <= 1
-    dist[excl] = np.inf
-    # rank on ROUND(dist, 6) with smallest-j tie-break — exactly the
-    # oracle's ORDER BY ROUND(dist,6), j (half-away rounding)
+    return np.sqrt(s)
+
+
+def _rank_min(dist: np.ndarray, idx_a: np.ndarray, idx_b: np.ndarray):
+    """Per-row min of ROUND(dist,6) with smallest-j tie-break — exactly
+    the oracle's ORDER BY ROUND(dist,6), j. Returns (idx, mp, pi) over
+    rows with at least one finite pair."""
+    from matrixprofile_ray.stages.relational import _round6_away
+
     finite = np.isfinite(dist)
     dr = np.where(finite, 0.0, np.inf)
     dr[finite] = _round6_away(dist[finite])
     row_min = dr.min(axis=1)
-    pi = idx[np.argmax(dr == row_min[:, None], axis=1)]
+    pi = idx_b[np.argmax(dr == row_min[:, None], axis=1)]
     ok = np.isfinite(row_min)
-    return (idx[ok].astype(np.int64), row_min[ok], pi[ok].astype(np.int64))
+    return (idx_a[ok].astype(np.int64), row_min[ok], pi[ok].astype(np.int64))
+
+
+def _brute_mp_w4(c: np.ndarray):
+    """Brute-force z-norm Euclidean self-join MP, w=4, ez=1 (= ceil(w/4)).
+    Returns (idx, mp, pi) or None for series too short."""
+    if len(c) < 7:      # need >= 2 windows outside the ez
+        return None
+    idx, z = _zwin_w4(c)
+    dist = _brute_dist_w4(z, z)
+    dist[np.abs(idx[:, None] - idx[None, :]) <= 1] = np.inf
+    return _rank_min(dist, idx, idx)
 
 
 def q_profile_brute_1h(sf_dir: str):
@@ -1519,6 +1535,44 @@ def q_profile_brute_1h(sf_dir: str):
     for c in ("idx", "pi"):
         df[c] = df[c].astype("int64")
     return df.sort_values(["event_type", "idx"]).reset_index(drop=True)
+
+
+def q_ab_join_brute_1h(sf_dir: str):
+    """AB similarity join UNDER THE ORACLE: for every w=4 window of the
+    'click' hourly series, the nearest z-norm Euclidean neighbor among
+    the 'view' series' windows (no exclusion zone — reference AB-join
+    semantics). Same bit-identical mirrored float expressions as
+    profile_brute_1h."""
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+    two = buckets.filter(
+        lambda r: r["event_type"] in ("click", "view")
+    ).to_pandas()
+    out = {}
+    for key, g in two.groupby("event_type"):
+        g = g.sort_values("bucket_ts")
+        out[key] = g["count"].to_numpy(dtype="d")
+    idx_a, za = _zwin_w4(out["click"])
+    idx_b, zb = _zwin_w4(out["view"])
+    idx, mp, pi = _rank_min(_brute_dist_w4(za, zb), idx_a, idx_b)
+    return pd.DataFrame({
+        "idx": idx, "mp": mp, "pi": pi,
+    }).sort_values("idx").reset_index(drop=True)
+
+
+def q_discord_candidates_1h(sf_dir: str):
+    """Discovery under the oracle: top-5 discord candidates per type =
+    the windows with the LARGEST brute-MP nearest-neighbor distance
+    (rank by mp DESC, idx ASC — the suppression-free first stage of
+    top_k_discords)."""
+    df = q_profile_brute_1h(sf_dir)
+    df = df.sort_values(["event_type", "mp", "idx"],
+                        ascending=[True, False, True], kind="stable")
+    top = df.groupby("event_type", sort=True).head(5).copy()
+    top["rank"] = top.groupby("event_type", sort=False).cumcount().astype("int64")
+    return top.reset_index(drop=True)
 
 
 def q_segment_lineitem_revenue(sf_dir: str):
@@ -1743,6 +1797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_coord": q_ann_lsh_coord,
         "segment_lineitem_revenue": q_segment_lineitem_revenue,
         "profile_brute_1h": q_profile_brute_1h,
+        "ab_join_brute_1h": q_ab_join_brute_1h,
+        "discord_candidates_1h": q_discord_candidates_1h,
     }
 
 
@@ -1781,6 +1837,81 @@ def _lang_id_sql() -> str:
                ROUND(score / greatest(total, 1.0), 6) AS lang_score
         FROM ranked WHERE rn = 1
     """
+
+
+def _zwin_sql_cte() -> str:
+    """Shared CTE chain: hourly counts → positional w=4 windows →
+    z-normalized window coordinates (constant windows dropped). Float
+    expression order mirrors _zwin_w4 exactly."""
+    return f"""
+            h AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       count(*)::DOUBLE AS c
+                FROM events GROUP BY 1, 2
+            ), seq AS (
+                SELECT event_type, c, bucket_ts,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY bucket_ts
+                       ) - 1 AS pos,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM h
+            ), win AS (
+                SELECT event_type, pos AS i, n,
+                       c AS c0,
+                       lead(c, 1) OVER w AS c1,
+                       lead(c, 2) OVER w AS c2,
+                       lead(c, 3) OVER w AS c3
+                FROM seq
+                WINDOW w AS (PARTITION BY event_type ORDER BY pos)
+            ), zd AS (
+                SELECT event_type, i, n,
+                       c0 - mu AS d0, c1 - mu AS d1,
+                       c2 - mu AS d2, c3 - mu AS d3
+                FROM (
+                    SELECT event_type, i, n, c0, c1, c2, c3,
+                           (((c0 + c1) + c2) + c3) / 4.0 AS mu
+                    FROM win WHERE c3 IS NOT NULL
+                )
+            ), z AS (
+                SELECT event_type, i, n,
+                       d0 / sd AS z0, d1 / sd AS z1,
+                       d2 / sd AS z2, d3 / sd AS z3
+                FROM (
+                    SELECT *, sqrt(
+                        (((d0*d0 + d1*d1) + d2*d2) + d3*d3) / 4.0
+                    ) AS sd FROM zd
+                ) WHERE sd > 0
+            )"""
+
+
+_DIST4_SQL = """sqrt(
+                           (((a.z0-b.z0)*(a.z0-b.z0)
+                             + (a.z1-b.z1)*(a.z1-b.z1))
+                            + (a.z2-b.z2)*(a.z2-b.z2))
+                           + (a.z3-b.z3)*(a.z3-b.z3)
+                       )"""
+
+
+def _brute_mp_sql() -> str:
+    """Self-join brute MP CTE chain ending in mpq(event_type, idx, mp, pi)."""
+    return f"""{_zwin_sql_cte()}, pairs AS (
+                SELECT a.event_type, a.i, b.i AS j,
+                       ROUND({_DIST4_SQL}, 6) AS dist
+                FROM z a JOIN z b
+                  ON a.event_type = b.event_type AND abs(a.i - b.i) > 1
+                WHERE a.n >= 7
+            ), ranked AS (
+                SELECT event_type, i, j, dist,
+                       row_number() OVER (
+                           PARTITION BY event_type, i
+                           ORDER BY dist ASC, j ASC
+                       ) AS rn
+                FROM pairs
+            ), mpq AS (
+                SELECT event_type, i AS idx, dist AS mp, j AS pi
+                FROM ranked WHERE rn = 1
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2315,63 +2446,33 @@ def oracle_sql() -> dict[str, str]:
         # sqrt of the single accumulated value), so both sides produce
         # bit-identical doubles.
         "profile_brute_1h": f"""
-            WITH h AS (
-                SELECT event_type,
-                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
-                       count(*)::DOUBLE AS c
-                FROM events GROUP BY 1, 2
-            ), seq AS (
-                SELECT event_type, c, bucket_ts,
-                       row_number() OVER (
-                           PARTITION BY event_type ORDER BY bucket_ts
-                       ) - 1 AS pos,
-                       count(*) OVER (PARTITION BY event_type) AS n
-                FROM h
-            ), win AS (
-                SELECT event_type, pos AS i, n,
-                       c AS c0,
-                       lead(c, 1) OVER w AS c1,
-                       lead(c, 2) OVER w AS c2,
-                       lead(c, 3) OVER w AS c3
-                FROM seq
-                WINDOW w AS (PARTITION BY event_type ORDER BY pos)
-            ), zd AS (
-                SELECT event_type, i,
-                       c0 - mu AS d0, c1 - mu AS d1,
-                       c2 - mu AS d2, c3 - mu AS d3
-                FROM (
-                    SELECT event_type, i, c0, c1, c2, c3,
-                           (((c0 + c1) + c2) + c3) / 4.0 AS mu
-                    FROM win WHERE c3 IS NOT NULL AND n >= 7
-                )
-            ), z AS (
-                SELECT event_type, i,
-                       d0 / sd AS z0, d1 / sd AS z1,
-                       d2 / sd AS z2, d3 / sd AS z3
-                FROM (
-                    SELECT *, sqrt(
-                        (((d0*d0 + d1*d1) + d2*d2) + d3*d3) / 4.0
-                    ) AS sd FROM zd
-                ) WHERE sd > 0
-            ), pairs AS (
-                SELECT a.event_type, a.i, b.i AS j,
-                       ROUND(sqrt(
-                           (((a.z0-b.z0)*(a.z0-b.z0)
-                             + (a.z1-b.z1)*(a.z1-b.z1))
-                            + (a.z2-b.z2)*(a.z2-b.z2))
-                           + (a.z3-b.z3)*(a.z3-b.z3)
-                       ), 6) AS dist
-                FROM z a JOIN z b
-                  ON a.event_type = b.event_type AND abs(a.i - b.i) > 1
+            WITH {_brute_mp_sql()}
+            SELECT event_type, idx, mp, pi FROM mpq
+        """,
+        "ab_join_brute_1h": f"""
+            WITH {_zwin_sql_cte()}, pairs AS (
+                SELECT a.i, b.i AS j,
+                       ROUND({_DIST4_SQL}, 6) AS dist
+                FROM (SELECT * FROM z WHERE event_type = 'click') a
+                CROSS JOIN (SELECT * FROM z WHERE event_type = 'view') b
             ), ranked AS (
-                SELECT event_type, i, j, dist,
+                SELECT i, j, dist,
                        row_number() OVER (
-                           PARTITION BY event_type, i
-                           ORDER BY dist ASC, j ASC
+                           PARTITION BY i ORDER BY dist ASC, j ASC
                        ) AS rn
                 FROM pairs
             )
-            SELECT event_type, i AS idx, dist AS mp, j AS pi
-            FROM ranked WHERE rn = 1
+            SELECT i AS idx, dist AS mp, j AS pi FROM ranked WHERE rn = 1
+        """,
+        "discord_candidates_1h": f"""
+            WITH {_brute_mp_sql()}, dr AS (
+                SELECT event_type, idx, mp, pi,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY mp DESC, idx ASC
+                       ) - 1 AS rank
+                FROM mpq
+            )
+            SELECT event_type, idx, mp, pi, rank FROM dr WHERE rank < 5
         """,
     }
