@@ -1575,6 +1575,51 @@ def q_discord_candidates_1h(sf_dir: str):
     return top.reset_index(drop=True)
 
 
+def q_fluss_brute_1h(sf_dir: str):
+    """FLUSS semantic segmentation UNDER THE ORACLE: corrected arc curve
+    (reference fluss / regimes.py:43-91 semantics) computed from the
+    oracle-visible brute MP's nearest-neighbor index. Positions are the
+    dense ranks of kept windows; arc counts are exact integers (order
+    free); the idealized-parabola expression is mirrored verbatim in the
+    SQL, so cac hashes bit-identically. Edge positions (< w or >= n-w,
+    w=4) are pinned to 1.0 like the reference."""
+    from matrixprofile_ray.stages.relational import _round6_away
+
+    mp = q_profile_brute_1h(sf_dir)
+    frames = []
+    for key, g in mp.groupby("event_type", sort=True):
+        g = g.sort_values("idx")
+        kept = g["idx"].to_numpy()
+        n = len(kept)
+        p = np.arange(n, dtype=np.int64)
+        pr = np.searchsorted(kept, g["pi"].to_numpy())  # rank of neighbor
+        lo = np.minimum(p, pr)
+        hi = np.maximum(p, pr)
+        # cross_count[q] = #{arcs: lo < q < hi} — exact integers
+        marks = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(marks, lo + 1, 1)
+        np.add.at(marks, hi, -1)
+        cross = np.cumsum(marks[:n])
+        fn = float(n)
+        height = fn / 2.0
+        a = height / ((fn / 2.0) * (fn / 2.0))
+        fp = p.astype("d")
+        ideal = -(a * (fp - fn / 2.0) * (fp - fn / 2.0)) + height
+        cac = np.ones(n, dtype="d")
+        mid = (p >= 4) & (p < n - 4)
+        cac[mid] = np.minimum(
+            cross[mid].astype("d") / ideal[mid], 1.0
+        )
+        frames.append(pd.DataFrame({
+            "event_type": key,
+            "p": p,
+            "cross_count": cross.astype(np.int64),
+            "cac": _round6_away(cac),
+        }))
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["event_type", "p"]).reset_index(drop=True)
+
+
 def q_segment_lineitem_revenue(sf_dir: str):
     """Three-table pipeline mixing both join strategies: customer
     (small) BROADCAST-mapped onto orders, then orders ⋈ lineitem as a
@@ -1799,6 +1844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_brute_1h": q_profile_brute_1h,
         "ab_join_brute_1h": q_ab_join_brute_1h,
         "discord_candidates_1h": q_discord_candidates_1h,
+        "fluss_brute_1h": q_fluss_brute_1h,
     }
 
 
@@ -2474,5 +2520,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM mpq
             )
             SELECT event_type, idx, mp, pi, rank FROM dr WHERE rank < 5
+        """,
+        # FLUSS corrected arc curve from the brute MP's neighbor index.
+        # Arc counts are exact integers; the parabola expression mirrors
+        # the engine verbatim. Edges (< 4 or >= n-4) pinned to 1.0.
+        "fluss_brute_1h": f"""
+            WITH {_brute_mp_sql()}, rw AS (
+                SELECT event_type, idx, pi,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY idx
+                       ) - 1 AS p,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM mpq
+            ), arcs AS (
+                SELECT a.event_type,
+                       LEAST(a.p, b.p) AS lo, GREATEST(a.p, b.p) AS hi
+                FROM rw a JOIN rw b
+                  ON a.event_type = b.event_type AND a.pi = b.idx
+            ), curve AS (
+                SELECT w.event_type, w.p, w.n, count(ar.lo) AS cross_count
+                FROM rw w LEFT JOIN arcs ar
+                  ON ar.event_type = w.event_type
+                 AND ar.lo < w.p AND w.p < ar.hi
+                GROUP BY 1, 2, 3
+            )
+            SELECT event_type, p, cross_count::BIGINT AS cross_count,
+                   ROUND(CASE WHEN p < 4 OR p >= n - 4 THEN 1.0
+                         ELSE LEAST(
+                             CAST(cross_count AS DOUBLE) /
+                             (-(((n/2.0) / ((n/2.0)*(n/2.0)))
+                                * (p - n/2.0) * (p - n/2.0)) + n/2.0),
+                             1.0)
+                         END, 6) AS cac
+            FROM curve
         """,
     }
