@@ -1575,6 +1575,19 @@ def q_discord_candidates_1h(sf_dir: str):
     return top.reset_index(drop=True)
 
 
+def q_motif_candidates_1h(sf_dir: str):
+    """Motif candidates under the oracle: top-5 windows per type with the
+    SMALLEST brute-MP nearest-neighbor distance (the suppression-free
+    first stage of top_k_motifs — each row is one end of a motif pair,
+    pi the other end)."""
+    df = q_profile_brute_1h(sf_dir)
+    df = df.sort_values(["event_type", "mp", "idx"],
+                        ascending=[True, True, True], kind="stable")
+    top = df.groupby("event_type", sort=True).head(5).copy()
+    top["rank"] = top.groupby("event_type", sort=False).cumcount().astype("int64")
+    return top.reset_index(drop=True)
+
+
 def q_fluss_brute_1h(sf_dir: str):
     """FLUSS semantic segmentation UNDER THE ORACLE: corrected arc curve
     (reference fluss / regimes.py:43-91 semantics) computed from the
@@ -1845,6 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_join_brute_1h": q_ab_join_brute_1h,
         "discord_candidates_1h": q_discord_candidates_1h,
         "fluss_brute_1h": q_fluss_brute_1h,
+        "motif_candidates_1h": q_motif_candidates_1h,
     }
 
 
@@ -2520,6 +2534,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM mpq
             )
             SELECT event_type, idx, mp, pi, rank FROM dr WHERE rank < 5
+        """,
+        "motif_candidates_1h": f"""
+            WITH {_brute_mp_sql()}, mr AS (
+                SELECT event_type, idx, mp, pi,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY mp ASC, idx ASC
+                       ) - 1 AS rank
+                FROM mpq
+            )
+            SELECT event_type, idx, mp, pi, rank FROM mr WHERE rank < 5
         """,
         # FLUSS corrected arc curve from the brute MP's neighbor index.
         # Arc counts are exact integers; the parabola expression mirrors
