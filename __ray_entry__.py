@@ -42,6 +42,13 @@ def _round_floats(df: pd.DataFrame, cols, decimals: int = 6) -> pd.DataFrame:
     return df
 
 
+def _round6_away_arr(x) -> np.ndarray:
+    """ROUND(x, 6) with SQL half-away-from-zero semantics (DuckDB ROUND)."""
+    from matrixprofile_ray.stages.relational import _round6_away
+
+    return np.asarray(_round6_away(np.asarray(x, dtype="d")))
+
+
 # ---------------------------------------------------------------- rollups
 
 def _rollup(sf_dir: str, bucket_us: int) -> pd.DataFrame:
@@ -1659,6 +1666,12 @@ def q_segment_lineitem_revenue(sf_dir: str):
 
     def tag_segment(batch: pd.DataFrame) -> pd.DataFrame:
         keys, segs = ray.get(cust_handle)
+        empty = pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "c_mktsegment": pd.Series(dtype="object"),
+        })
+        if len(keys) == 0:  # inner join with an empty build side
+            return empty
         ok = batch["o_custkey"].to_numpy()
         pos = np.minimum(np.searchsorted(keys, ok), len(keys) - 1)
         hit = keys[pos] == ok  # inner-join semantics on a missing FK
@@ -1741,7 +1754,9 @@ def q_ann_lsh_coord(sf_dir: str):
             mids = ids[mask]
             mv = vn[mask]
             for qi in qidx:
-                sims = np.round(mv @ qmat[qi], 6)
+                # half-away rounding to match DuckDB ROUND (np.round is
+                # half-to-even — round-3 advice)
+                sims = _round6_away_arr(mv @ qmat[qi])
                 top = np.lexsort((mids, -sims))[:k]
                 frames.append(pd.DataFrame({
                     "query_id": np.int64(qids[qi]),
@@ -1778,8 +1793,12 @@ def q_docs_sample_hash(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
 
     def filt(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_numpy()
-        keep = (d * 2654435761) % 1000 < 50
+        # uint64 wrap-around semantics, mirrored in the SQL with HUGEINT
+        # % 2^64: int64 multiply would wrap SIGNED for doc_id ≳ 3.47e9
+        # while DuckDB BIGINT raises (round-3 advice)
+        d = batch["doc_id"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            keep = (d * np.uint64(2654435761)) % np.uint64(1000) < 50
         return batch.filter(pa.array(keep))
 
     df = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
@@ -2457,7 +2476,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_sample_hash": """
             SELECT doc_id, lang, n_chars FROM documents
-            WHERE (doc_id * 2654435761) % 1000 < 50
+            WHERE ((doc_id::HUGEINT * 2654435761)
+                   % 18446744073709551616::HUGEINT) % 1000 < 50
         """,
         "ann_lsh_coord": """
             WITH b AS (

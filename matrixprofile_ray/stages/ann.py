@@ -60,18 +60,25 @@ class BruteForceTopK:
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from matrixprofile_ray.stages.relational import _round6_away
+
         vecs = _normalize(_embed_matrix(batch["embedding"]))
         ids = batch["vec_id"].to_numpy()
         sims = vecs @ self.qmat.T  # (batch, nq)
         out = {"query_id": [], "vec_id": [], "sim": []}
         k = min(self.k, len(ids))
         for j, qid in enumerate(self.qids):
-            col = sims[:, j]
-            top = np.argpartition(col, -k)[-k:]
+            # batch-local cut on the ROUNDED sim with vec_id tie-break —
+            # exactly the global stage's (and SQL oracle's) ordering, so
+            # the truncation is lossless even when rounded sims tie at
+            # the k boundary (unrounded argpartition could drop the row
+            # the global rounded ordering would keep)
+            col = _round6_away(sims[:, j])
+            top = np.lexsort((ids, -col))[:k]
             for t in top:
                 out["query_id"].append(int(qid))
                 out["vec_id"].append(int(ids[t]))
-                out["sim"].append(round(float(col[t]), 6))
+                out["sim"].append(float(col[t]))
         return pd.DataFrame(out)
 
 
@@ -128,21 +135,25 @@ def _score_wanted_batch(ids, vecs, cells, wanted, qvec_by_id, k):
     this is the 100-TB shape (round-2 verdict flagged the old
     ``groupby(bucket).map_groups`` as ~corpus/2^nbits rows in ONE worker).
     """
+    from matrixprofile_ray.stages.relational import _round6_away
+
     out = {"query_id": [], "vec_id": [], "sim": []}
     for cell in np.unique(cells):
         mask = cells == cell
         mids = ids[mask]
         mvecs = vecs[mask]
         for qid in wanted.get(int(cell), []):
-            sims = mvecs @ qvec_by_id[qid]
+            # batch-local cut on the ROUNDED sim + vec_id tie-break: the
+            # global stage (and the SQL oracle) rank on the rounded value,
+            # so cutting on the unrounded one could drop a row that ties
+            # at 6 decimals but wins the vec_id tie-break
+            sims = _round6_away(mvecs @ qvec_by_id[qid])
             kk = min(k, len(mids))
-            # deterministic at equal sim: secondary sort on vec_id so the
-            # k-boundary does not depend on row order within the batch
             top = np.lexsort((mids, -sims))[:kk]
             for t in top:
                 out["query_id"].append(qid)
                 out["vec_id"].append(int(mids[t]))
-                out["sim"].append(round(float(sims[t]), 6))
+                out["sim"].append(float(sims[t]))
     return pd.DataFrame(out)
 
 
@@ -328,7 +339,7 @@ def _cross_pairs(ids_l, vecs_l, ids_r, vecs_r, threshold: float) -> pd.DataFrame
 
 def near_duplicates(ds, threshold: float = 0.95, nbits: int = 6,
                     dim: int | None = None, max_bucket_size: int | None = None,
-                    sub_buckets: int | None = None,
+                    sub_buckets="auto",
                     target_group_rows: int = 65536):
     """Embedding-cosine near-dup pairs via LSH buckets + exact in-bucket scoring.
 
@@ -358,9 +369,12 @@ def near_duplicates(ds, threshold: float = 0.95, nbits: int = 6,
       them per batch).
     """
     if sub_buckets == "auto":
-        n_rows = ds.count()
-        est_bucket = max(1, n_rows // max(1, 1 << nbits))
-        sub_buckets = max(1, -(-est_bucket // target_group_rows))
+        if max_bucket_size is not None:
+            sub_buckets = 1  # star cap needs whole buckets (see below)
+        else:
+            n_rows = ds.count()
+            est_bucket = max(1, n_rows // max(1, 1 << nbits))
+            sub_buckets = max(1, -(-est_bucket // target_group_rows))
     S = int(sub_buckets or 1)
     if S > 1 and max_bucket_size is not None:
         raise ValueError(

@@ -402,30 +402,48 @@ def grouped_moments(ds, key_col: str, value_col: str, scale: float = 100.0):
         c4_lo = b2 & _HILO_MASK
         c4_hi = (a * a) << np.int64(30)
         c4_hi = c4_hi + a * b + (b2 >> _HILO_SHIFT)
+        # c4_hi itself reaches ~2^52, so a batch groupby-sum would wrap
+        # int64 after ~2^11 max-magnitude rows (round-3 advice): split it
+        # into two more 2^32 limbs — per-row s4_hh < 2^20, s4_hl < 2^32,
+        # so per-batch sums stay exact up to 2^31 rows per (batch, key),
+        # far above any worker-heap-sized batch.
         df = pd.DataFrame({
             key_col: batch[key_col].to_numpy(),
             "n": np.ones(len(c), dtype=np.int64),
             "s1": c,
             "s2_hi": c2 >> _HILO_SHIFT, "s2_lo": c2 & _HILO_MASK,
             "s3_hi": c3 >> _HILO_SHIFT, "s3_lo": c3 & _HILO_MASK,
-            "s4_hi": c4_hi, "s4_lo": c4_lo,
+            "s4_hh": c4_hi >> _HILO_SHIFT, "s4_hl": c4_hi & _HILO_MASK,
+            "s4_lo": c4_lo,
         })
         g = df.groupby(key_col, as_index=False).sum()
-        for p in ("s2", "s3", "s4"):  # renormalise: carry lo overflow to hi
+        for p in ("s2", "s3"):  # renormalise: carry lo overflow to hi
             lo = g[f"{p}_lo"].to_numpy()
             g[f"{p}_hi"] = g[f"{p}_hi"].to_numpy() + (lo >> _HILO_SHIFT)
             g[f"{p}_lo"] = lo & _HILO_MASK
+        lo = g["s4_lo"].to_numpy()
+        hl = g["s4_hl"].to_numpy() + (lo >> _HILO_SHIFT)
+        g["s4_lo"] = lo & _HILO_MASK
+        g["s4_hh"] = g["s4_hh"].to_numpy() + (hl >> _HILO_SHIFT)
+        g["s4_hl"] = hl & _HILO_MASK
         return g
 
     def finalize(part: pd.DataFrame) -> pd.DataFrame:
         rows = []
+        def osum(col) -> int:
+            # Python-int (arbitrary precision) cross-partition sum: the
+            # per-key partial count equals the partition count, but limb
+            # values near 2^32 × many partials must never wrap silently
+            return int(col.astype(object).sum()) if len(col) else 0
+
         for k, g in part.groupby(key_col, sort=False):
             n = int(g["n"].sum())
             s1 = int(g["s1"].sum())
             # exact arbitrary-precision reconstruction
-            s2 = (int(g["s2_hi"].sum()) << 32) + int(g["s2_lo"].sum())
-            s3 = (int(g["s3_hi"].sum()) << 32) + int(g["s3_lo"].sum())
-            s4 = (int(g["s4_hi"].sum()) << 32) + int(g["s4_lo"].sum())
+            s2 = (osum(g["s2_hi"]) << 32) + osum(g["s2_lo"])
+            s3 = (osum(g["s3_hi"]) << 32) + osum(g["s3_lo"])
+            s4 = ((osum(g["s4_hh"]) << 64) + (osum(g["s4_hl"]) << 32)
+                  + osum(g["s4_lo"]))
             # float64 finalize — mirrored EXACTLY in the SQL oracle
             fn, f1, f2, f3, f4 = (
                 float(n), float(s1), float(s2), float(s3), float(s4)
@@ -555,6 +573,21 @@ def broadcast_join_sum(big_ds, small_keys: np.ndarray, small_vals: np.ndarray,
     Output (pandas): group, n (int64), total (int64 exact units).
     """
     import ray
+
+    small_keys = np.asarray(small_keys)
+    if len(small_keys) == 0:
+        # inner-join with an empty small side: nothing can match — return
+        # the empty result instead of letting searchsorted index [-1]
+        return pd.DataFrame({
+            "group": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "total": pd.Series(dtype="int64"),
+        })
+    if len(np.unique(small_keys)) != len(small_keys):
+        # the key→label contract is a FUNCTION; a duplicate key would
+        # silently match only its first occurrence instead of fanning out
+        # like a real hash join — fail loudly
+        raise ValueError("broadcast_join_sum: small_keys must be unique")
 
     order = np.argsort(small_keys, kind="stable")
     handle = ray.put((small_keys[order],
