@@ -109,9 +109,9 @@ def bench_queries() -> dict:
         "events_topk",
         "stats_events",
         "gapfill_1h",
-        "profile_mpx_1h",
+        "profile_mpx_w24_1h",
         "profile_stomp_1h",
-        "discords_1h",
+        "discords_w24_1h",
         "gorilla_1h",
         "dedup_exact",
         "token_count",

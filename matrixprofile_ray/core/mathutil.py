@@ -53,14 +53,22 @@ def distance_profile(
     """z-normalized Euclidean distance profile from a sliding dot product.
 
     Correlations that numerically exceed 1.0 (identical windows after a large
-    dynamic-range excursion) yield a tiny negative argument; clamp to 0 so the
-    distance is 0 rather than NaN (a NaN silently loses the true nearest
-    neighbor in ``dist < mp`` merges). NaN from constant windows (sig == 0,
-    inf - inf) is preserved: np.maximum propagates it.
-    """
+    dynamic-range excursion) yield a tiny FINITE negative argument; clamp
+    those to 0 so the distance is 0 rather than NaN (a NaN silently loses the
+    true nearest neighbor in ``dist < mp`` merges). Constant windows
+    (sig == 0) must stay NaN exactly as the reference's unclamped
+    sqrt(real(...)) leaves them (core.py:447-478): a ±inf argument there
+    comes from FFT noise divided by an exactly-zero sigma, and clamping the
+    -inf branch fabricated a 0-distance match to a constant window (found by
+    the round-4 stampi==stomp driver assert on a count series with runs of
+    equal values)."""
     with np.errstate(divide="ignore", invalid="ignore"):
-        dist = 2 * (ws - (prod - ws * data_mu * query_mu) / (data_sig * query_sig))
-        return np.sqrt(np.maximum(np.real(dist), 0.0))
+        arg = np.real(
+            2 * (ws - (prod - ws * data_mu * query_mu) / (data_sig * query_sig))
+        )
+        out = np.sqrt(np.maximum(arg, 0.0))
+        out[~np.isfinite(arg)] = np.nan
+        return out
 
 
 def apply_exclusion_zone(

@@ -71,6 +71,16 @@ def stampi_append(state: dict, value: float) -> dict:
     # constant windows (sig == 0) produce NaN, same as batch STOMP, where
     # they never beat any finite entry; neutralize them for the merges below
     dist[~np.isfinite(dist)] = np.inf
+    # batch STOMP's rolling dot products are EXACT, so a constant window's
+    # covariance against anything is exactly 0 and 0/0 = NaN never updates.
+    # The FFT product here carries ~1e-13 noise that turns that 0/0 into
+    # ±inf — and the negative branch is CLAMPED TO DISTANCE 0 by
+    # distance_profile, a false exact match (found by the w=4 driver-oracle
+    # assert, round 4). Mask both constant sides to inf explicitly.
+    if q_sig[0] == 0:
+        dist[:] = np.inf
+    else:
+        dist[data_sig == 0] = np.inf
 
     # existing entries may now prefer the new subsequence
     head = dist[:new_idx]
@@ -142,6 +152,12 @@ def stampi_append_many(state: dict, values: np.ndarray) -> dict:
             prod, w, data_mu[: s + 1], data_sig[: s + 1], q_mu[0], q_sig[0]
         )
         dist[~np.isfinite(dist)] = np.inf
+        # same constant-window masking as stampi_append (FFT noise would
+        # otherwise clamp a constant window's 0/0 into a false 0 distance)
+        if q_sig[0] == 0:
+            dist[:] = np.inf
+        else:
+            dist[data_sig[: s + 1] == 0] = np.inf
 
         cutoff = max(0, s - ez)
         head = dist[:s]

@@ -578,3 +578,32 @@ class TestConnectedComponents:
         ).to_pandas()
         assert sorted(got["doc_id"]) == list(range(n))
         assert set(got["cluster_id"]) == {0}
+
+
+class TestMinhashPackingVectorized:
+    def test_binary_packing_matches_per_row_tobytes(self):
+        """Round-4: Array.from_buffers packing must byte-equal the old
+        per-row tobytes loop (the verification join unpacks with
+        np.frombuffer on these bytes)."""
+        import pyarrow as pa
+
+        from matrixprofile_ray.stages.dedup import (
+            _minhash_matrix,
+            _pack_sig_binary,
+        )
+
+        batch = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["the quick brown fox jumps", "over the lazy dog today",
+                     "the quick brown fox jumps"],
+        })
+        sigs = _minhash_matrix(batch)
+        packed = _pack_sig_binary(sigs)
+        want = [row.tobytes() for row in sigs.view(np.int64)]
+        assert packed.to_pylist() == want
+        # identical texts -> identical signatures
+        assert want[0] == want[2] and want[0] != want[1]
+        # empty batch round-trips
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())})
+        assert len(_pack_sig_binary(_minhash_matrix(empty))) == 0

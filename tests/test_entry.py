@@ -107,3 +107,34 @@ class TestBruteMpOracleKernel:
         assert res is not None
         idx, mp, pi = res
         assert 0 not in idx  # the all-constant leading window is dropped
+
+
+class TestSuppressedPicksMatchProduction:
+    """The chained-CTE oracle mirrors (q_discords_1h / q_regimes_1h) pick
+    with (value, idx) tie-break + reference suppression; the production
+    loops must choose identically on tie-free inputs."""
+
+    def test_discords(self):
+        import matrixprofile_ray.core as core
+        from __ray_entry__ import _suppressed_picks
+
+        rng = np.random.default_rng(2)
+        vals = np.round(rng.permutation(np.arange(300)) / 300.0, 6)
+        idx = np.arange(300)
+        pi = rng.integers(0, 300, size=300)
+        picks = _suppressed_picks(idx, vals, pi, 3, 1, largest=True,
+                                  end_exclusive=True, mask_pair=False)
+        prod = core.top_k_discords(vals, 4, exclusion_zone=1, k=3)
+        assert [int(idx[x]) for x in picks] == [int(v) for v in prod]
+
+    def test_regimes(self):
+        import matrixprofile_ray.core as core
+        from __ray_entry__ import _suppressed_picks
+
+        rng = np.random.default_rng(3)
+        cac = np.round(rng.random(400), 6)
+        p = np.arange(400)
+        picks = _suppressed_picks(p, cac, p, 3, 20, largest=False,
+                                  end_exclusive=True, mask_pair=False)
+        prod = core.extract_regimes(cac, window_size=4, num_regimes=3)
+        assert [int(p[x]) for x in picks] == [int(v) for v in prod[:len(picks)]]

@@ -172,6 +172,55 @@ class TestStampi:
         np.testing.assert_almost_equal(state["mp"], full["mp"], decimal=8)
 
 
+class TestStampiConstantWindows:
+    def test_constant_windows_no_false_zero_match(self):
+        """Round-4 regression: a CONSTANT appended window's FFT product
+        carries ~1e-13 noise, and distance_profile's negative-clamp used
+        to turn its 0/0 covariance into a false 0-distance match. Batch
+        STOMP and incremental STAMPI must agree on a count series with
+        runs of equal values, and no non-constant window may claim a
+        0-distance to a constant one."""
+        rng = np.random.default_rng(5)
+        c = np.round(rng.gamma(2.0, 2.0, size=240))
+        c[40:48] = 3.0      # constant run -> several constant windows
+        c[200:207] = 5.0    # constant run appended AFTER the bootstrap
+        w = 4
+        state = core.stampi_init(c[:180], w)
+        for x in c[180:]:
+            state = core.stampi_append(state, x)
+        full = core.stomp(c, w)
+        fin = np.isfinite(full["mp"])
+        assert (np.isfinite(state["mp"]) == fin).all()
+        np.testing.assert_allclose(
+            state["mp"][fin], full["mp"][fin], atol=1e-6
+        )
+        # constant windows match nothing (reference NaN policy -> inf here)
+        win = np.lib.stride_tricks.sliding_window_view(c, w)
+        const = win.std(axis=1) == 0
+        zero_claims = fin & (full["mp"] < 1e-9)
+        for i in np.flatnonzero(zero_claims):
+            assert not const[full["pi"][i]]
+
+    def test_distance_profile_constant_sigma_is_nan(self):
+        """sig == 0 must yield NaN (reference core.py:447-478 semantics),
+        while tiny FINITE negatives still clamp to distance 0."""
+        from matrixprofile_ray.core import mathutil
+
+        mu = np.array([2.0, 2.0])
+        sig = np.array([0.0, 1.0])
+        # prod slightly off the exact covariance-zero point
+        prod = np.array([4 * 2.0 * 2.0 + 1e-13, 4 * 2.0 * 2.0 + 1e-13])
+        d = mathutil.distance_profile(prod, 4, mu, sig, 2.0, 1.0)
+        assert np.isnan(d[0])
+        assert np.isfinite(d[1])
+        # finite negative argument (correlation numerically > 1) -> 0
+        d2 = mathutil.distance_profile(
+            np.array([4 * (1.0 + 1e-12)]), 4,
+            np.array([0.0]), np.array([1.0]), 0.0, 1.0,
+        )
+        assert d2[0] == 0.0
+
+
 class TestStampiAppendMany:
     def test_bit_identical_to_per_point(self, sampledata):
         """stampi_append_many over irregular chunks must equal repeated

@@ -393,6 +393,87 @@ class TestGroupedMoments:
             pd.testing.assert_frame_equal(outs[0], o)
 
 
+class TestGroupedMomentsOverflow:
+    def test_max_magnitude_many_rows_exact(self, ray_session):
+        """Round-4 regression (round-3 advice): per-row s4_hi reaches
+        ~2^52 at the |c| < 2^21 guard bound, so >2^11 max-magnitude rows
+        used to wrap the per-batch int64 groupby sum silently. 6000 rows
+        near the bound in ONE batch must still match the exact
+        Python-int computation."""
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import grouped_moments
+
+        from matrixprofile_ray.stages.relational import _mu_int64
+
+        rng = np.random.default_rng(11)
+        # values*100 just under 2^21 = 2097152 (wiggle stays in-domain)
+        vals = np.round(20960.0 + rng.normal(0, 1, size=6000), 2)
+        df = pd.DataFrame({"k": ["a"] * 6000, "v": vals})
+        out = grouped_moments(rd.from_pandas(df), "k", "v").to_pandas()
+        # the engine's exact cent quantization: at this magnitude the
+        # float64 finalize is cancellation-dominated, so even a single
+        # ±1-cent rounding-rule difference would shift kurt by millions —
+        # the point of the test is that the INTEGER power sums stay exact
+        c = [int(x) for x in _mu_int64(vals, 100.0)]
+        n = len(c)
+        s1, s2 = sum(c), sum(x * x for x in c)
+        s3, s4 = sum(x**3 for x in c), sum(x**4 for x in c)
+        fn, f1, f2, f3, f4 = float(n), float(s1), float(s2), float(s3), float(s4)
+        # the finalize expression MIRRORED VERBATIM (mm*mm*mm, not mm**3:
+        # at this magnitude the result is cancellation-dominated and a
+        # 1-ulp pow difference shifts kurt by orders of magnitude — the
+        # test pins the integer sums AND the exact float recipe)
+        mm = f1 / fn
+        m2 = (f2 - f1 * mm) / fn
+        m3 = (f3 - 3.0 * mm * f2 + 2.0 * fn * mm * mm * mm) / fn
+        m4 = (f4 - 4.0 * mm * f3 + 6.0 * mm * mm * f2
+              - 3.0 * fn * mm * mm * mm * mm) / fn
+        skew = m3 / (m2 * np.sqrt(m2)) * np.sqrt(fn * (fn - 1.0)) / (fn - 2.0)
+        kurt = (((fn + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0)
+                * (fn - 1.0) / ((fn - 2.0) * (fn - 3.0)))
+        np.testing.assert_allclose(out["skew"].iloc[0], round(skew, 6),
+                                   atol=2e-6)
+        np.testing.assert_allclose(out["kurt"].iloc[0], round(kurt, 6),
+                                   atol=2e-6)
+
+    def test_guard_still_rejects_out_of_domain(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import grouped_moments
+
+        df = pd.DataFrame({"k": ["a"], "v": [30000.0]})  # 3e6 cents > 2^21
+        with pytest.raises(Exception, match="2\\^21"):
+            grouped_moments(rd.from_pandas(df), "k", "v").to_pandas()
+
+
+class TestBroadcastJoinSumDegenerate:
+    def test_empty_small_side_returns_empty(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import broadcast_join_sum
+
+        big = rd.from_pandas(pd.DataFrame({"fk": [1, 2], "w": [10, 20]}))
+        out = broadcast_join_sum(
+            big, np.array([], dtype=np.int64), np.array([], dtype=object),
+            "fk", weight_fn=lambda b: b["w"].to_numpy(),
+        )
+        assert len(out) == 0
+        assert list(out.columns) == ["group", "n", "total"]
+
+    def test_duplicate_small_keys_raise(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import broadcast_join_sum
+
+        big = rd.from_pandas(pd.DataFrame({"fk": [1], "w": [10]}))
+        with pytest.raises(ValueError, match="unique"):
+            broadcast_join_sum(
+                big, np.array([1, 1]), np.array(["a", "b"], dtype=object),
+                "fk", weight_fn=lambda b: b["w"].to_numpy(),
+            )
+
+
 class TestSeriesCorrPairs:
     def test_matches_numpy_corrcoef(self, ray_session):
         import ray.data as rd

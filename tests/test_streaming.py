@@ -128,3 +128,48 @@ class TestStreamingProfiler:
             np.testing.assert_array_equal(
                 np.asarray(got.loc[k, "pi"]), np.asarray(want.loc[k, "pi"])
             )
+
+
+class TestRoutingVectorized:
+    def test_route_array_matches_scalar_route(self, ray_session):
+        prof = StreamingProfiler(window=8, num_shards=4)
+        try:
+            rng = np.random.default_rng(0)
+            keys = rng.choice(
+                [f"key-{i}" for i in range(500)], size=20000
+            ).astype(object)
+            got = prof._route_array(keys)
+            want = np.array([prof._route(k) for k in keys])
+            np.testing.assert_array_equal(got, want)
+        finally:
+            prof.shutdown()
+
+    def test_large_microbatch_ingest(self, ray_session):
+        """Round-3 verdict item 7 done-criterion: a 10^5-row micro-batch
+        over a 10^3-key universe routes without the per-row crc32 loop
+        (vectorized unique + cache) and snapshots as a Dataset."""
+        import time
+
+        # 2 shards, not 4: the test session has 4 CPUs and each shard
+        # actor reserves one — a Dataset op (snapshot_dataset) needs a
+        # free CPU slot or it deadlocks waiting for the actors to exit
+        prof = StreamingProfiler(window=8, num_shards=2)
+        try:
+            rng = np.random.default_rng(1)
+            n_keys, rows = 1000, 100_000
+            keys = np.array([f"k{i:04d}" for i in range(n_keys)], dtype=object)
+            batch = pd.DataFrame({
+                "key": keys[rng.integers(0, n_keys, size=rows)],
+                "value": rng.normal(size=rows),
+            })
+            prof.update(batch)          # warm: caches every key's shard
+            t0 = time.time()
+            routed = prof._route_array(batch["key"].to_numpy())
+            route_s = time.time() - t0
+            assert len(routed) == rows
+            # warm routing is one np.unique + a take — far under a second
+            assert route_s < 1.0, f"routing took {route_s:.2f}s"
+            snap = prof.snapshot_dataset()
+            assert snap.count() == n_keys
+        finally:
+            prof.shutdown()
