@@ -915,11 +915,13 @@ def q_embedding_neardup(sf_dir: str):
 
 def q_multimodal_features(sf_dir: str):
     """Binary media columns through the REAL codec path: deterministic
-    BMP images / PCM WAV tracks are synthesized from each doc's id+text,
-    then decoded (pure-Python BMP/WAV parsers) and feature-extracted by
-    the actor-pool stage with ``fake=False``."""
+    BMP / baseline-JPEG images and PCM WAV tracks are synthesized from
+    each doc's id+text, then decoded (pure-Python BMP/WAV parsers + the
+    pure-numpy JPEG codec, stages/jpeg.py) and feature-extracted by the
+    actor-pool stage with ``fake=False``."""
     import pyarrow as pa
 
+    from matrixprofile_ray.stages.jpeg import encode_jpeg
     from matrixprofile_ray.stages.multimodal import (
         DecodeStage,
         encode_bmp,
@@ -932,11 +934,16 @@ def q_multimodal_features(sf_dir: str):
         payloads, kinds, mimes = [], [], []
         for i, t in zip(ids, texts):
             rng = np.random.default_rng(i)
-            if i % 3:
+            if i % 3 == 1:
                 px = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
                 payloads.append(encode_bmp(px))
                 kinds.append("image")
                 mimes.append("image/bmp")
+            elif i % 3 == 2:
+                px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+                payloads.append(encode_jpeg(px, quality=85))
+                kinds.append("image")
+                mimes.append("image/jpeg")
             else:
                 n = 400 + (len(t) % 200)
                 wav = (

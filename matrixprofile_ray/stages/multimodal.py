@@ -6,12 +6,13 @@ layout — is real and tested. Codecs:
 
 - ``DecodeStage(fake=True)`` produces a deterministic fake decode (shape +
   checksum-seeded feature vector) so pipelines are testable end-to-end.
-- ``DecodeStage(fake=False)`` REALLY decodes the two formats a pure-Python
-  parser can own — uncompressed 24-bit BMP (``image/bmp``) and 16-bit PCM
-  WAV (``audio/wav``) — and extracts grid-mean / windowed-RMS features.
-  Compressed formats (jpeg/mp3/video) still raise ``NotImplementedError``,
-  marking exactly where a real libjpeg/ffmpeg hook plugs in (none ships
-  in this environment).
+- ``DecodeStage(fake=False)`` REALLY decodes the formats a pure-Python
+  parser can own — uncompressed 24-bit BMP (``image/bmp``), 16-bit PCM
+  WAV (``audio/wav``) and, since round 4, baseline JPEG (``image/jpeg``,
+  see ``stages/jpeg.py`` — full pure-numpy DCT/Huffman codec) — and
+  extracts grid-mean / windowed-RMS features. Compressed audio/video
+  (mp3/h264) still raise ``NotImplementedError``, marking exactly where
+  an ffmpeg hook plugs in (none ships in this environment).
 
 Large payloads ⇒ small ``batch_size`` (a 4 MB image × 256-row batch would
 blow a 1 GB heap); callers should pass ``batch_size≤32`` for real media.
@@ -213,13 +214,19 @@ class DecodeStage:
             # real decode path: the formats a pure-Python parser can own
             if payload[:2] == b"BM":
                 return image_features(decode_bmp(payload), self.dim)
+            if payload[:2] == b"\xff\xd8":
+                from matrixprofile_ray.stages.jpeg import decode_jpeg
+
+                return image_features(
+                    decode_jpeg(payload).astype(np.float64), self.dim
+                )
             if payload[:4] == b"RIFF":
                 samples, _ = decode_wav(payload)
                 return audio_features(samples, self.dim)
             raise NotImplementedError(
-                "compressed media decode (jpeg/mp3/video) requires a codec "
-                "library; this environment ships none — plug "
-                "libjpeg/ffmpeg here"
+                "compressed audio/video decode (mp3/h264/...) requires a "
+                "codec library; this environment ships none — plug "
+                "ffmpeg here (baseline JPEG is handled above in pure numpy)"
             )
         # deterministic fake: feature vector seeded by payload checksum
         seed = zlib.crc32(payload)

@@ -607,3 +607,77 @@ class TestMinhashPackingVectorized:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "text": pa.array([], pa.string())})
         assert len(_pack_sig_binary(_minhash_matrix(empty))) == 0
+
+
+class TestJpegCodec:
+    """Pure-numpy baseline JPEG (round-3 verdict item 9): DCT + Huffman
+    encoder and a generic table-driven decoder, no codec library."""
+
+    def test_smooth_gradient_roundtrip_tight(self):
+        from matrixprofile_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        h, w = 40, 56
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)
+        ], axis=-1).astype(np.uint8)
+        enc = encode_jpeg(img, quality=90)
+        assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+        dec = decode_jpeg(enc)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 12 and err.mean() < 3.0
+        assert encode_jpeg(img, quality=90) == enc    # deterministic
+
+    def test_odd_dims_and_random_content(self):
+        from matrixprofile_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        assert dec.shape == img.shape
+        # random content is JPEG-hostile; bound by q95 quantization noise
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.mean() < 8.0
+
+    def test_grayscale_and_flat(self):
+        from matrixprofile_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        g = np.tile(np.arange(48, dtype=np.uint8) * 5, (24, 1))
+        dg = decode_jpeg(encode_jpeg(g, quality=90))
+        assert dg.shape == g.shape
+        assert np.abs(dg.astype(int) - g.astype(int)).max() <= 8
+        flat = np.full((16, 16, 3), 77, np.uint8)
+        assert (decode_jpeg(encode_jpeg(flat, 85)) == 77).all()
+
+    def test_decoder_rejects_garbage(self):
+        from matrixprofile_ray.stages.jpeg import decode_jpeg
+
+        with pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg")
+
+    def test_jpeg_through_decode_stage(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.jpeg import decode_jpeg, encode_jpeg
+        from matrixprofile_ray.stages.multimodal import image_features
+
+        rng = np.random.default_rng(9)
+        px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+        payload = encode_jpeg(px, quality=85)
+        media = pd.DataFrame({
+            "media_id": [7], "kind": ["image"],
+            "payload": [payload], "mime": ["image/jpeg"],
+        })
+        out = (
+            rd.from_pandas(media)
+            .map_batches(
+                DecodeStage,
+                fn_constructor_kwargs={"dim": 8, "fake": False},
+                batch_format="pandas", batch_size=4, concurrency=1,
+            )
+            .to_pandas()
+        )
+        want = np.round(image_features(
+            decode_jpeg(payload).astype(np.float64), 8), 6)
+        np.testing.assert_array_equal(np.asarray(out["feature"].iloc[0]), want)
