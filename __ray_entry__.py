@@ -246,15 +246,15 @@ def q_profile_mpx_w24_1h(sf_dir: str):
     return _profile(sf_dir, "mpx")
 
 
-def q_profile_stomp_1h(sf_dir: str):
+def q_profile_stomp_w24_1h(sf_dir: str):
     return _profile(sf_dir, "stomp")
 
 
-def q_profile_scrimp_1h(sf_dir: str):
+def q_profile_scrimp_w24_1h(sf_dir: str):
     return _profile(sf_dir, "scrimp++")
 
 
-def q_pmp_1h(sf_dir: str):
+def q_pmp_w24_1h(sf_dir: str):
     """SKIMP fan-out: (series × window) work-list through the profile stage.
 
     The fan-out happens INSIDE map_batches (each batch repeats its rows per
@@ -432,7 +432,7 @@ def q_gorilla_1h(sf_dir: str):
     return out.reset_index(drop=True)
 
 
-def q_mstomp_1h(sf_dir: str):
+def q_mstomp_w24_1h(sf_dir: str):
     """Multidimensional MP over (count, mean_value) per-key 1h series."""
     import ray.data as rd
 
@@ -606,7 +606,7 @@ def q_cluster_events(sf_dir: str):
     })
 
 
-def q_av_complexity_1h(sf_dir: str):
+def q_av_complexity_w24_1h(sf_dir: str):
     """Annotation-vector correction: cmp = mp + (1-av)*max(mp) with the
     complexity AV (reference transform.py:15-87, 90-285)."""
     from matrixprofile_ray.core.transform import apply_av
@@ -1585,6 +1585,48 @@ def _brute_mp_w4(c: np.ndarray):
     return _rank_min(dist, idx, idx)
 
 
+def _zwin_any(c: np.ndarray, w: int):
+    """_zwin_w4 generalized to any window length — the float expressions
+    stay LEFT-ASSOCIATED exactly like the generated SQL chains (for w=4
+    this is bit-identical to _zwin_w4)."""
+    cols = [c[k : len(c) - w + 1 + k] for k in range(w)]
+    s = cols[0]
+    for k in range(1, w):
+        s = s + cols[k]
+    mu = s / float(w)
+    ds = [col - mu for col in cols]
+    v = ds[0] * ds[0]
+    for k in range(1, w):
+        v = v + ds[k] * ds[k]
+    sd = np.sqrt(v / float(w))
+    keep = sd > 0
+    idx = np.arange(len(mu))[keep]
+    sdk = sd[keep]
+    return idx, [d[keep] / sdk for d in ds]
+
+
+def _brute_dist_any(za: list, zb: list) -> np.ndarray:
+    e = za[0][:, None] - zb[0][None, :]
+    s = e * e
+    for k in range(1, len(za)):
+        e = za[k][:, None] - zb[k][None, :]
+        s = s + e * e
+    return np.sqrt(s)
+
+
+def _brute_mp_any(c: np.ndarray, w: int, ez: int, min_len: int):
+    """Generalized brute self-join MP mirror (window w, exclusion |i-j| <=
+    ez, explicit min series length mirrored by the SQL's n >= guard)."""
+    if len(c) < min_len:
+        return None
+    idx, z = _zwin_any(c, w)
+    if not len(idx):
+        return None
+    dist = _brute_dist_any(z, z)
+    dist[np.abs(idx[:, None] - idx[None, :]) <= ez] = np.inf
+    return _rank_min(dist, idx, idx)
+
+
 _BRUTE_MP_CACHE: dict = {}
 
 
@@ -2026,6 +2068,241 @@ def q_stampi_1h(sf_dir: str):
     return mp.copy()
 
 
+def q_profile_stomp_1h(sf_dir: str):
+    """PRODUCTION stomp UNDER THE ORACLE: brute mirror with stomp's own
+    exclusion zone ez = ceil(w/2) = 2. With the round-4 constant-window
+    NaN fix, batch stomp's candidate set EQUALS the mirror's (constant
+    windows match nothing on either side), so the rounded profiles must
+    agree unconditionally — the strongest of the production-link asserts.
+    Gap-filled w=24 production pipeline: profile_stomp_w24_1h."""
+    import matrixprofile_ray.core as core
+
+    counts = _hourly_counts(sf_dir)
+    frames = []
+    for key in sorted(counts):
+        c = counts[key]
+        res = _brute_mp_any(c, 4, ez=2, min_len=8)
+        if res is None:
+            continue
+        idx, mp, pi = res
+        prof = core.stomp(c, 4)
+        fmp = np.asarray(prof["mp"], dtype="d")[idx]
+        assert np.isfinite(fmp).all(), key
+        err = float(np.max(np.abs(_round6_away_arr(fmp) - mp)))
+        assert err < 5e-6, f"stomp diverged from ez=2 mirror on {key}: {err}"
+        frames.append(pd.DataFrame({
+            "event_type": key, "idx": idx, "mp": mp, "pi": pi,
+        }))
+    out = pd.concat(frames, ignore_index=True)
+    for col in ("idx", "pi"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values(["event_type", "idx"]).reset_index(drop=True)
+
+
+def q_profile_scrimp_1h(sf_dir: str):
+    """PRODUCTION scrimp++ UNDER THE ORACLE: at sample_pct=1.0 SCRIMP++ is
+    exact, so the mpx-style ez=1 brute mirror gates it (asserted at
+    rounding tolerance when no constant windows — SCRIMP's constant-window
+    policy differs from the mirror's drop rule, so the superset inequality
+    applies otherwise). w=24 production pipeline: profile_scrimp_w24_1h."""
+    import matrixprofile_ray.core as core
+
+    counts = _hourly_counts(sf_dir)
+    frames = []
+    for key in sorted(counts):
+        c = counts[key]
+        res = _brute_mp_w4(c)
+        if res is None:
+            continue
+        idx, mp, pi = res
+        prof = core.scrimp_plus_plus(c, 4, sample_pct=1.0)
+        fmp = np.asarray(prof["mp"], dtype="d")[idx]
+        ok = np.isfinite(fmp)
+        prod_r = _round6_away_arr(fmp[ok])
+        if len(idx) == len(c) - 3:      # no constant windows
+            err = float(np.max(np.abs(prod_r - mp[ok])))
+            assert err < 5e-6, f"scrimp++ diverged from mirror on {key}: {err}"
+        else:
+            assert np.all(prod_r <= mp[ok] + 5e-6), key
+        frames.append(pd.DataFrame({
+            "event_type": key, "idx": idx, "mp": mp, "pi": pi,
+        }))
+    out = pd.concat(frames, ignore_index=True)
+    for col in ("idx", "pi"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values(["event_type", "idx"]).reset_index(drop=True)
+
+
+def q_pmp_1h(sf_dir: str):
+    """PRODUCTION SKIMP/PMP UNDER THE ORACLE: a two-window pan matrix
+    profile (w ∈ {4, 5}, ez = ceil(w/4) per window) as brute mirrors;
+    production core.skimp(windows=[4, 5], sample_pct=1.0) asserted per
+    (window, kept-idx) at rounding tolerance when that window has no
+    constant subsequences. The (series × window) fan-out production
+    pipeline stays visible as pmp_w24_1h."""
+    import matrixprofile_ray.core as core
+
+    counts = _hourly_counts(sf_dir)
+    rows = []
+    for key in sorted(counts):
+        c = counts[key]
+        p = core.skimp(c, windows=[4, 5], sample_pct=1.0)
+        wins = [int(x) for x in p["windows"]]
+        for w, ez, min_len in ((4, 1, 7), (5, 2, 9)):
+            res = _brute_mp_any(c, w, ez=ez, min_len=min_len)
+            if res is None:
+                continue
+            idx, mp, pi = res
+            prod = np.asarray(p["pmp"][wins.index(w)], dtype="d")[idx]
+            ok = np.isfinite(prod)
+            prod_r = _round6_away_arr(prod[ok])
+            if len(idx) == len(c) - w + 1:
+                err = float(np.max(np.abs(prod_r - mp[ok])))
+                assert err < 5e-6, f"skimp w={w} diverged on {key}: {err}"
+            else:
+                assert np.all(prod_r <= mp[ok] + 5e-6), (key, w)
+            for t in range(len(idx)):
+                rows.append({"event_type": key, "w": w, "idx": int(idx[t]),
+                             "mp": float(mp[t]), "pi": int(pi[t])})
+    out = pd.DataFrame(rows)
+    for col in ("w", "idx", "pi"):
+        out[col] = out[col].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_av_complexity_1h(sf_dir: str):
+    """PRODUCTION complexity annotation vector UNDER THE ORACLE: the AV is
+    core.transform.make_complexity_av itself (its cumsum-of-squared-diffs
+    is EXACT INTEGER arithmetic on a count series, so it equals the SQL's
+    per-window integer sums bit-for-bit through sqrt/min/max/divide); the
+    corrected profile cmp = mp + (1 - av) * max(mp) (apply_av's formula)
+    is mirrored over the kept brute-MP windows. w=24 production variant:
+    av_complexity_w24_1h."""
+    from matrixprofile_ray.core.transform import make_complexity_av
+
+    mp = _brute_mp_df(sf_dir)
+    counts = _hourly_counts(sf_dir)
+    frames = []
+    for key, g in mp.groupby("event_type", sort=True):
+        c = counts[str(key)]
+        av = make_complexity_av(c, 4)
+        # SQL-order mirror of the same quantity — exact-integer window
+        # sums make both bit-identical
+        d2 = np.diff(c) ** 2
+        raw = np.sqrt((d2[:-2] + d2[1:-1]) + d2[2:])
+        mx = float(np.max(raw))
+        mirror_av = (np.zeros(len(raw)) if mx == 0
+                     else (raw - float(np.min(raw))) / mx)
+        assert np.array_equal(av, mirror_av), key
+        idx = g["idx"].to_numpy()
+        mpv = g["mp"].to_numpy(dtype="d")
+        mp_max = float(np.max(mpv))
+        cmp_ = mpv + (1.0 - av[idx]) * mp_max
+        frames.append(pd.DataFrame({
+            "event_type": key, "idx": idx,
+            "av": _round6_away_arr(av[idx]),
+            "cmp": _round6_away_arr(cmp_),
+        }))
+    out = pd.concat(frames, ignore_index=True)
+    out["idx"] = out["idx"].astype("int64")
+    return out.sort_values(["event_type", "idx"]).reset_index(drop=True)
+
+
+def q_mstomp_1h(sf_dir: str):
+    """PRODUCTION mSTOMP UNDER THE ORACLE: 2-dimensional matrix profile
+    over (hourly count, hourly exact integer value sum) — both
+    integer-exact on either side — via the brute sorted-mean mirror
+    (mSTAMP semantics: row k = best mean over the k+1 closest
+    dimensions; ez = ceil(w/2) = 2). A window is kept iff BOTH dims are
+    non-constant; production core.mstomp asserted at tolerance when no
+    window was dropped. w=24 production variant: mstomp_w24_1h."""
+    import matrixprofile_ray.core as core
+
+    dims = _hourly_two_dims(sf_dir)
+    rows = []
+    for key in sorted(dims):
+        ca, cb = dims[key]
+        if len(ca) < 8:
+            continue
+        ia, za = _zwin_any(ca, 4)
+        ib, zb = _zwin_any(cb, 4)
+        # windows kept in BOTH dims, aligned
+        common = np.intersect1d(ia, ib)
+        if len(common) < 2:
+            continue
+        sa = np.searchsorted(ia, common)
+        sb = np.searchsorted(ib, common)
+        da = _round6_away_arr(_brute_dist_any(
+            [z[sa] for z in za], [z[sa] for z in za]))
+        db = _round6_away_arr(_brute_dist_any(
+            [z[sb] for z in zb], [z[sb] for z in zb]))
+        excl = np.abs(common[:, None] - common[None, :]) <= 2
+        m0 = np.minimum(da, db)
+        m1 = (da + db) / 2.0
+        m0[excl] = np.inf
+        m1[excl] = np.inf
+        res0 = _rank_min(m0, common, common)
+        res1 = _rank_min(m1, common, common)
+        no_drop = (len(common) == len(ca) - 3)
+        if no_drop:
+            prof = core.mstomp(np.vstack([ca, cb]), 4)
+            for k, res in ((0, res0), (1, res1)):
+                idx, mp, _ = res
+                prod = np.asarray(prof["mp"][k], dtype="d")[idx]
+                ok = np.isfinite(prod)
+                err = float(np.max(np.abs(
+                    _round6_away_arr(prod[ok]) - mp[ok]
+                ))) if ok.any() else 0.0
+                assert err < 5e-6, f"mstomp k={k} diverged on {key}: {err}"
+        for k, res in ((0, res0), (1, res1)):
+            idx, mp, pi = res
+            for t in range(len(idx)):
+                rows.append({"event_type": key, "k": k, "idx": int(idx[t]),
+                             "mp": float(mp[t]), "pi": int(pi[t])})
+    out = pd.DataFrame(rows)
+    for col in ("k", "idx", "pi"):
+        out[col] = out[col].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_TWO_DIMS_CACHE: dict = {}
+
+
+def _hourly_two_dims(sf_dir: str) -> dict[str, tuple]:
+    """Per-type (hourly count, hourly integer value sum) series — the two
+    integer-exact dimensions the mstomp mirror profiles. Values are
+    rounded to UNIT scale (not µ): the mstomp kernel's rolling 2-sum
+    squares the series, and 1e10-magnitude µ-sums would lose the
+    variance to float64 cancellation."""
+    if sf_dir in _TWO_DIMS_CACHE:
+        return _TWO_DIMS_CACHE[sf_dir]
+    from matrixprofile_ray.stages.relational import _mu_int64
+    from matrixprofile_ray.util import partitioned_group_map
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        ts_us = part["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({
+            "event_type": part["event_type"].to_numpy(),
+            "bucket_ts": (ts_us // H1) * H1,
+            "cnt": np.ones(len(part), dtype=np.int64),
+            "vsum": _mu_int64(part["value"].to_numpy(dtype="d"), 1.0),
+        }).groupby(["event_type", "bucket_ts"], as_index=False).sum()
+        return g
+
+    df = partitioned_group_map(ds, ["event_type"], fold).to_pandas()
+    out = {}
+    for key, g in df.groupby("event_type"):
+        g = g.sort_values("bucket_ts")
+        out[str(key)] = (
+            g["cnt"].to_numpy(dtype="d"),
+            g["vsum"].to_numpy(dtype="d"),
+        )
+    _TWO_DIMS_CACHE[sf_dir] = out
+    return out
+
+
 def q_segment_lineitem_revenue(sf_dir: str):
     """Three-table pipeline mixing both join strategies: customer
     (small) BROADCAST-mapped onto orders, then orders ⋈ lineitem as a
@@ -2207,8 +2484,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_mpx_1h": q_profile_mpx_1h,
         "profile_mpx_w24_1h": q_profile_mpx_w24_1h,
         "profile_stomp_1h": q_profile_stomp_1h,
+        "profile_stomp_w24_1h": q_profile_stomp_w24_1h,
         "profile_scrimp_1h": q_profile_scrimp_1h,
+        "profile_scrimp_w24_1h": q_profile_scrimp_w24_1h,
         "pmp_1h": q_pmp_1h,
+        "pmp_w24_1h": q_pmp_w24_1h,
         "stampi_1h": q_stampi_1h,
         "stampi_w24_1h": q_stampi_w24_1h,
         "discords_1h": q_discords_1h,
@@ -2221,11 +2501,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mpdist_pairs_1h": q_mpdist_pairs_1h,
         "mpdist_pairs_w24_1h": q_mpdist_pairs_w24_1h,
         "mstomp_1h": q_mstomp_1h,
+        "mstomp_w24_1h": q_mstomp_w24_1h,
         "ab_join_1h": q_ab_join_1h,
         "ab_join_w24_1h": q_ab_join_w24_1h,
         "cluster_events": q_cluster_events,
         "max_subsequence_1h": q_max_subsequence_1h,
         "av_complexity_1h": q_av_complexity_1h,
+        "av_complexity_w24_1h": q_av_complexity_w24_1h,
         "gorilla_1h": q_gorilla_1h,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -2586,6 +2868,143 @@ def _ann_ivf_sql() -> str:
             FROM scored
         )
         SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 10
+    """
+
+
+def _fold_add(terms: list[str]) -> str:
+    """Left-associated + chain — mirrors _zwin_any's accumulation order."""
+    s = terms[0]
+    for t in terms[1:]:
+        s = f"({s} + {t})"
+    return s
+
+
+def _zwin_sql_any(w: int, sfx: str,
+                  value_sql: str = "count(*)::DOUBLE") -> str:
+    """_zwin_sql_cte generalized: any window length, suffixed CTE names
+    (so two windows/dimensions can coexist in one query), pluggable
+    per-bucket value expression. For w=4 the float math is identical to
+    the hand-written w=4 chain."""
+    lead_cols = ",\n                       ".join(
+        f"lead(c, {k}) OVER wn{sfx} AS c{k}" for k in range(1, w)
+    )
+    mu = _fold_add([f"c{k}" for k in range(w)]) + f" / {w}.0"
+    dd = ",\n                       ".join(
+        f"c{k} - mu AS d{k}" for k in range(w)
+    )
+    var = _fold_add([f"d{k}*d{k}" for k in range(w)]) + f" / {w}.0"
+    zz = ",\n                       ".join(
+        f"d{k} / sd AS z{k}" for k in range(w)
+    )
+    return f"""
+            h{sfx} AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       {value_sql} AS c
+                FROM events GROUP BY 1, 2
+            ), seq{sfx} AS (
+                SELECT event_type, c, bucket_ts,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY bucket_ts
+                       ) - 1 AS pos,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM h{sfx}
+            ), win{sfx} AS (
+                SELECT event_type, pos AS i, n, c AS c0,
+                       {lead_cols}
+                FROM seq{sfx}
+                WINDOW wn{sfx} AS (PARTITION BY event_type ORDER BY pos)
+            ), zd{sfx} AS (
+                SELECT event_type, i, n, {dd}
+                FROM (
+                    SELECT *, {mu} AS mu
+                    FROM win{sfx} WHERE c{w - 1} IS NOT NULL
+                )
+            ), z{sfx} AS (
+                SELECT event_type, i, n, {zz}
+                FROM (
+                    SELECT *, sqrt({var}) AS sd FROM zd{sfx}
+                ) WHERE sd > 0
+            )"""
+
+
+def _dist_sql_any(w: int, a: str = "a", b: str = "b") -> str:
+    return "sqrt(" + _fold_add(
+        [f"({a}.z{k}-{b}.z{k})*({a}.z{k}-{b}.z{k})" for k in range(w)]
+    ) + ")"
+
+
+def _brute_mp_sql_any(w: int, ez: int, min_len: int, sfx: str = "",
+                      value_sql: str = "count(*)::DOUBLE") -> str:
+    """Generalized brute-MP chain ending in mpq{sfx}(event_type, idx, mp,
+    pi) — parameterized window / exclusion zone / min-length guard."""
+    return f"""{_zwin_sql_any(w, sfx, value_sql)}, pairs{sfx} AS (
+                SELECT a.event_type, a.i, b.i AS j,
+                       ROUND({_dist_sql_any(w)}, 6) AS dist
+                FROM z{sfx} a JOIN z{sfx} b
+                  ON a.event_type = b.event_type AND abs(a.i - b.i) > {ez}
+                WHERE a.n >= {min_len}
+            ), ranked{sfx} AS (
+                SELECT event_type, i, j, dist,
+                       row_number() OVER (
+                           PARTITION BY event_type, i
+                           ORDER BY dist ASC, j ASC
+                       ) AS rn
+                FROM pairs{sfx}
+            ), mpq{sfx} AS (
+                SELECT event_type, i AS idx, dist AS mp, j AS pi
+                FROM ranked{sfx} WHERE rn = 1
+            )"""
+
+
+def _mstomp_sql() -> str:
+    """2-dim mSTAMP mirror: per-dim w=4 z-windows over the count series
+    (sfx 'ma') and the integer value-sum series (sfx 'mb'), window kept
+    iff BOTH dims non-constant, ez = ceil(w/2) = 2; row k ranks the mean
+    of the (k+1) smallest per-dim rounded distances."""
+    vsum = "CAST(sum(CAST(round(value) AS BIGINT)) AS DOUBLE)"
+    da = "sqrt(" + _fold_add(
+        [f"(a.az{k}-b.az{k})*(a.az{k}-b.az{k})" for k in range(4)]
+    ) + ")"
+    db = "sqrt(" + _fold_add(
+        [f"(a.bz{k}-b.bz{k})*(a.bz{k}-b.bz{k})" for k in range(4)]
+    ) + ")"
+    acols = ", ".join(f"za.z{k} AS az{k}" for k in range(4))
+    bcols = ", ".join(f"zb.z{k} AS bz{k}" for k in range(4))
+    return f"""
+        WITH {_zwin_sql_any(4, 'ma')}, {_zwin_sql_any(4, 'mb', vsum)},
+        kw AS (
+            SELECT za.event_type, za.i, za.n, {acols}, {bcols}
+            FROM zma za JOIN zmb zb
+              ON za.event_type = zb.event_type AND za.i = zb.i
+        ), mp_pairs AS (
+            SELECT a.event_type, a.i, b.i AS j,
+                   ROUND({da}, 6) AS dista,
+                   ROUND({db}, 6) AS distb
+            FROM kw a JOIN kw b
+              ON a.event_type = b.event_type AND abs(a.i - b.i) > 2
+            WHERE a.n >= 8
+        ), md AS (
+            SELECT event_type, i, j,
+                   LEAST(dista, distb) AS m0,
+                   ROUND((dista + distb) / 2.0, 6) AS m1
+            FROM mp_pairs
+        ), r0 AS (
+            SELECT event_type, i, j, m0,
+                   row_number() OVER (PARTITION BY event_type, i
+                                      ORDER BY m0 ASC, j ASC) AS rn
+            FROM md
+        ), r1 AS (
+            SELECT event_type, i, j, m1,
+                   row_number() OVER (PARTITION BY event_type, i
+                                      ORDER BY m1 ASC, j ASC) AS rn
+            FROM md
+        )
+        SELECT event_type, 0 AS k, i AS idx, m0 AS mp, j AS pi
+        FROM r0 WHERE rn = 1
+        UNION ALL
+        SELECT event_type, 1 AS k, i AS idx, m1 AS mp, j AS pi
+        FROM r1 WHERE rn = 1
     """
 
 
@@ -3284,6 +3703,55 @@ def oracle_sql() -> dict[str, str]:
             "({m}.p < {p}.p - 20 OR {m}.p >= {p}.p + 20)",
             3, "p, cac",
         ),
+        # stomp's ez = ceil(w/2) = 2 mirror; the constant-window NaN
+        # policy makes batch stomp's candidate set equal the mirror's
+        "profile_stomp_1h": f"""
+            WITH {_brute_mp_sql_any(4, 2, 8, "s")}
+            SELECT event_type, idx, mp, pi FROM mpqs
+        """,
+        # scrimp++ at sample_pct=1 is exact ⇒ gated by the mpx ez=1 mirror
+        "profile_scrimp_1h": f"""
+            WITH {_brute_mp_sql()}
+            SELECT event_type, idx, mp, pi FROM mpq
+        """,
+        # two-window PMP: per-window brute mirrors (ez = ceil(w/4))
+        "pmp_1h": f"""
+            WITH {_brute_mp_sql_any(4, 1, 7, "pa")},
+            {_brute_mp_sql_any(5, 2, 9, "pb")}
+            SELECT event_type, 4 AS w, idx, mp, pi FROM mpqpa
+            UNION ALL
+            SELECT event_type, 5 AS w, idx, mp, pi FROM mpqpb
+        """,
+        "mstomp_1h": _mstomp_sql(),
+        # complexity annotation vector + corrected profile: the window
+        # sums of squared diffs are exact integers on a count series, so
+        # sqrt/min/max/divide are bit-identical on both sides
+        "av_complexity_1h": f"""
+            WITH {_brute_mp_sql()}, avc AS (
+                SELECT event_type, i,
+                       sqrt((((c1-c0)*(c1-c0) + (c2-c1)*(c2-c1))
+                             + (c3-c2)*(c3-c2))) AS rawav
+                FROM win WHERE c3 IS NOT NULL
+            ), avn AS (
+                SELECT event_type, i,
+                       CASE WHEN max(rawav) OVER (PARTITION BY event_type)
+                                 = 0
+                            THEN 0.0
+                            ELSE (rawav - min(rawav) OVER
+                                      (PARTITION BY event_type))
+                                 / max(rawav) OVER (PARTITION BY event_type)
+                       END AS av
+                FROM avc
+            ), mx AS (
+                SELECT event_type, max(mp) AS mp_max FROM mpq GROUP BY 1
+            )
+            SELECT m.event_type, m.idx,
+                   ROUND(a.av, 6) AS av,
+                   ROUND(m.mp + (1.0 - a.av) * x.mp_max, 6) AS cmp
+            FROM mpq m
+            JOIN avn a ON a.event_type = m.event_type AND a.i = m.idx
+            JOIN mx x ON x.event_type = m.event_type
+        """,
         # MPDist per type pair: k-th order statistic (k = ceil(0.05·
         # (n_a+n_b)), 1-based rn = LEAST(count, k)) of the concatenated
         # AB/BA per-window minima — min and order statistics commute with

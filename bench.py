@@ -110,7 +110,7 @@ def bench_queries() -> dict:
         "stats_events",
         "gapfill_1h",
         "profile_mpx_w24_1h",
-        "profile_stomp_1h",
+        "profile_stomp_w24_1h",
         "discords_w24_1h",
         "gorilla_1h",
         "dedup_exact",

@@ -138,3 +138,53 @@ class TestSuppressedPicksMatchProduction:
                                   end_exclusive=True, mask_pair=False)
         prod = core.extract_regimes(cac, window_size=4, num_regimes=3)
         assert [int(p[x]) for x in picks] == [int(v) for v in prod[:len(picks)]]
+
+
+class TestGeneralizedMirrorHelpers:
+    def test_zwin_any_w4_bitwise_equals_zwin_w4(self):
+        from __ray_entry__ import _brute_dist_any, _brute_dist_w4, _zwin_any, _zwin_w4
+
+        rng = np.random.default_rng(7)
+        c = np.round(rng.gamma(3.0, 8.0, size=200))
+        c[50:55] = 4.0      # a constant run
+        i4, z4 = _zwin_w4(c)
+        ia, za = _zwin_any(c, 4)
+        np.testing.assert_array_equal(i4, ia)
+        for a, b in zip(z4, za):
+            np.testing.assert_array_equal(a, b)    # bitwise
+        np.testing.assert_array_equal(
+            _brute_dist_w4(z4, z4), _brute_dist_any(za, za)
+        )
+
+    def test_brute_any_w5_matches_mpx(self):
+        """w=5 mirror (ez = ceil(5/4) = 2) vs the production kernel —
+        the pmp_1h oracle's second window."""
+        import matrixprofile_ray.core as core
+        from __ray_entry__ import _brute_mp_any
+
+        rng = np.random.default_rng(12)
+        c = np.round(rng.gamma(3.0, 10.0, size=260))
+        res = _brute_mp_any(c, 5, ez=2, min_len=9)
+        assert res is not None
+        idx, mp, pi = res
+        assert len(idx) == len(c) - 4      # no constant windows drawn
+        prod, _ = core.mpx(c, 5)
+        np.testing.assert_allclose(mp, np.round(prod[idx], 6), atol=5e-6)
+
+    def test_stomp_ez2_mirror_exact_with_constants(self):
+        """profile_stomp_1h's strongest claim: with the constant-window
+        NaN policy, stomp's candidate set equals the ez=2 mirror's even
+        when constant windows exist."""
+        import matrixprofile_ray.core as core
+        from __ray_entry__ import _brute_mp_any, _round6_away_arr
+
+        rng = np.random.default_rng(13)
+        c = np.round(rng.gamma(2.0, 3.0, size=240))
+        c[60:68] = 5.0
+        res = _brute_mp_any(c, 4, ez=2, min_len=8)
+        idx, mp, pi = res
+        assert len(idx) < len(c) - 3       # constants actually dropped
+        prof = core.stomp(c, 4)
+        fmp = np.asarray(prof["mp"], dtype="d")[idx]
+        assert np.isfinite(fmp).all()
+        np.testing.assert_allclose(_round6_away_arr(fmp), mp, atol=5e-6)
