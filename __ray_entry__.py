@@ -1249,9 +1249,60 @@ def q_token_histogram(sf_dir: str):
 
 
 def q_streaming_stampi(sf_dir: str):
-    """Streaming per-key STAMPI stage: feed the 1h rolled series in 4
-    ordered micro-batches through the sharded stateful actors; the
-    snapshot must match a batch STOMP recompute (asserted per key)."""
+    """Streaming per-key STAMPI stage UNDER THE DUCKDB ORACLE: the hourly
+    count series are fed in 4 ordered micro-batches through the sharded
+    stateful actors at w=4; each key's final snapshot profile must match
+    a batch STOMP recompute (asserted) AND the ez = ceil(w/2) = 2 brute
+    mirror — the same chain profile_stomp_1h is gated by, so the driver
+    hash certifies the STREAMING path's end state. Returns the mirror
+    rows; the w=24 gap-filled stream remains streaming_stampi_w24."""
+    from matrixprofile_ray.state.streaming import StreamingProfiler
+
+    counts = _hourly_counts(sf_dir)
+    prof = StreamingProfiler(window=4, num_shards=2)
+    try:
+        chunks = 4
+        for ci in range(chunks):
+            frames = []
+            for key in sorted(counts):
+                v = counts[key]
+                lo = ci * len(v) // chunks
+                hi = (ci + 1) * len(v) // chunks
+                frames.append(pd.DataFrame({
+                    "key": key, "value": v[lo:hi],
+                    "ts": np.arange(lo, hi, dtype=np.int64),
+                }))
+            prof.update(pd.concat(frames), ts_col="ts")
+        snap = prof.snapshot().set_index("key")
+        frames = []
+        for key in sorted(counts):
+            c = counts[key]
+            res = _brute_mp_any(c, 4, ez=2, min_len=8)
+            if res is None:
+                continue
+            idx, mp, pi = res
+            smp = np.asarray(snap.loc[key, "mp"], dtype="d")[idx]
+            assert np.isfinite(smp).all(), key
+            err = float(np.max(np.abs(_round6_away_arr(smp) - mp)))
+            assert err < 5e-6, (
+                f"streaming stampi diverged from ez=2 mirror on {key}: {err}"
+            )
+            frames.append(pd.DataFrame({
+                "event_type": key, "idx": idx, "mp": mp, "pi": pi,
+            }))
+        out = pd.concat(frames, ignore_index=True)
+        for col in ("idx", "pi"):
+            out[col] = out[col].astype("int64")
+        return out.sort_values(["event_type", "idx"]).reset_index(drop=True)
+    finally:
+        prof.shutdown()
+
+
+def q_streaming_stampi_w24(sf_dir: str):
+    """Streaming per-key STAMPI stage (gap-filled w=24 production shape):
+    feed the 1h rolled series in 4 ordered micro-batches through the
+    sharded stateful actors; the snapshot must match a batch STOMP
+    recompute (asserted per key)."""
     from matrixprofile_ray.state.streaming import StreamingProfiler
     import matrixprofile_ray.core as core
 
@@ -2527,6 +2578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_pages_1d": q_flagship_pages_1d,
         "giant_mpx": q_giant_mpx,
         "streaming_stampi": q_streaming_stampi,
+        "streaming_stampi_w24": q_streaming_stampi_w24,
         "sessionize_users": q_sessionize_users,
         "asof_join": q_asof_join,
         "moving_avg_1h": q_moving_avg_1h,
@@ -3706,6 +3758,11 @@ def oracle_sql() -> dict[str, str]:
         # stomp's ez = ceil(w/2) = 2 mirror; the constant-window NaN
         # policy makes batch stomp's candidate set equal the mirror's
         "profile_stomp_1h": f"""
+            WITH {_brute_mp_sql_any(4, 2, 8, "s")}
+            SELECT event_type, idx, mp, pi FROM mpqs
+        """,
+        # the streaming stage's end state equals the same ez=2 mirror
+        "streaming_stampi": f"""
             WITH {_brute_mp_sql_any(4, 2, 8, "s")}
             SELECT event_type, idx, mp, pi FROM mpqs
         """,
