@@ -417,8 +417,60 @@ def q_mpdist_pairs_w24_1h(sf_dir: str):
 
 
 def q_gorilla_1h(sf_dir: str):
-    """Gorilla codec stage over the 1h series; round-trip asserted in-stage."""
-    from matrixprofile_ray.core.gorilla import gorilla_decode_floats
+    """Gorilla codec losslessness under the DuckDB oracle: encode the 1h
+    bucket series (XOR floats + delta-of-delta timestamps), decode it
+    back, and emit exact-integer aggregates of the DECODED arrays. The
+    oracle recomputes the same aggregates straight from the raw events
+    table, so any bit the codec loses (a shifted value, a dropped point,
+    a wrong timestamp delta) flips the hash. Runs on the raw
+    un-gap-filled bucket rows: non-dense timestamps exercise the
+    delta-of-delta branch structure harder than a constant grid.
+    Compression ratio (enc_bytes) is codec-internal bit accounting SQL
+    cannot mirror; it stays in the no-oracle gorilla_ratio_1h."""
+    from matrixprofile_ray.core.gorilla import (
+        gorilla_decode_floats,
+        gorilla_encode_floats,
+        timestamps_decode,
+        timestamps_encode,
+    )
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+    from matrixprofile_ray.util import partitioned_group_map
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+
+    def roundtrip(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["event_type", "bucket_ts"], kind="stable")
+        rows = []
+        for k, g in part.groupby("event_type", sort=False):
+            c = g["count"].to_numpy(dtype="d")
+            b = g["bucket_ts"].to_numpy(dtype=np.int64)
+            v = np.rint(
+                gorilla_decode_floats(gorilla_encode_floats(c))
+            ).astype(np.int64)
+            ts = np.asarray(
+                timestamps_decode(timestamps_encode(b)), dtype=np.int64
+            )
+            n = len(v)
+            rows.append({
+                "event_type": k,
+                "n": n,
+                "raw_bytes": 16 * n,
+                "sum_count": int(v.sum()),
+                "min_count": int(v.min()),
+                "max_count": int(v.max()),
+                "posw_sum": int((v * np.arange(n, dtype=np.int64)).sum()),
+                "ts_first": int(ts[0]),
+                "ts_last": int(ts[-1]),
+            })
+        return pd.DataFrame(rows)
+
+    return partitioned_group_map(buckets, ["event_type"], roundtrip)
+
+
+def q_gorilla_ratio_1h(sf_dir: str):
+    """Gorilla compression-ratio view (enc_bytes is codec-internal bit
+    accounting SQL cannot mirror; losslessness is gated by gorilla_1h)."""
     from matrixprofile_ray.stages.encode import encode_series
 
     series = _series_1h(sf_dir)
@@ -2560,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "av_complexity_1h": q_av_complexity_1h,
         "av_complexity_w24_1h": q_av_complexity_w24_1h,
         "gorilla_1h": q_gorilla_1h,
+        "gorilla_ratio_1h": q_gorilla_ratio_1h,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
@@ -3185,6 +3238,30 @@ def oracle_sql() -> dict[str, str]:
                    (max(epoch_us(ts) // {H1}) - min(epoch_us(ts) // {H1}) + 1
                     - count(DISTINCT epoch_us(ts) // {H1})) AS n_gaps
             FROM events GROUP BY event_type
+        """,
+        "gorilla_1h": f"""
+            WITH h AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS b,
+                       count(*)::BIGINT AS c
+                FROM events GROUP BY 1, 2
+            ), seq AS (
+                SELECT event_type, b, c,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY b
+                       ) - 1 AS pos
+                FROM h
+            )
+            SELECT event_type,
+                   count(*)::BIGINT AS n,
+                   (count(*) * 16)::BIGINT AS raw_bytes,
+                   sum(c)::BIGINT AS sum_count,
+                   min(c)::BIGINT AS min_count,
+                   max(c)::BIGINT AS max_count,
+                   sum(c * pos)::BIGINT AS posw_sum,
+                   min(b)::BIGINT AS ts_first,
+                   max(b)::BIGINT AS ts_last
+            FROM seq GROUP BY event_type
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
