@@ -2575,6 +2575,9 @@ def q_docs_sample_hash(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # Ordered: oracle-backed queries first (every entry below the
+        # "array-valued / non-SQL" marker has a matching oracle_sql()
+        # row), so any prefix sample of this dict is fully gated.
         "rollup_1h": q_rollup_1h,
         "rollup_1d": q_rollup_1d,
         "rollup_7d_cascade": q_rollup_7d_cascade,
@@ -2585,34 +2588,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_events": q_stats_events,
         "gapfill_1h": q_gapfill_1h,
         "profile_mpx_1h": q_profile_mpx_1h,
-        "profile_mpx_w24_1h": q_profile_mpx_w24_1h,
         "profile_stomp_1h": q_profile_stomp_1h,
-        "profile_stomp_w24_1h": q_profile_stomp_w24_1h,
         "profile_scrimp_1h": q_profile_scrimp_1h,
-        "profile_scrimp_w24_1h": q_profile_scrimp_w24_1h,
         "pmp_1h": q_pmp_1h,
-        "pmp_w24_1h": q_pmp_w24_1h,
         "stampi_1h": q_stampi_1h,
-        "stampi_w24_1h": q_stampi_w24_1h,
         "discords_1h": q_discords_1h,
-        "discords_w24_1h": q_discords_w24_1h,
         "motifs_1h": q_motifs_1h,
-        "motifs_w24_1h": q_motifs_w24_1h,
         "regimes_1h": q_regimes_1h,
-        "regimes_w24_1h": q_regimes_w24_1h,
-        "snippets_1d": q_snippets_1d,
         "mpdist_pairs_1h": q_mpdist_pairs_1h,
-        "mpdist_pairs_w24_1h": q_mpdist_pairs_w24_1h,
         "mstomp_1h": q_mstomp_1h,
-        "mstomp_w24_1h": q_mstomp_w24_1h,
         "ab_join_1h": q_ab_join_1h,
-        "ab_join_w24_1h": q_ab_join_w24_1h,
-        "cluster_events": q_cluster_events,
-        "max_subsequence_1h": q_max_subsequence_1h,
         "av_complexity_1h": q_av_complexity_1h,
-        "av_complexity_w24_1h": q_av_complexity_w24_1h,
         "gorilla_1h": q_gorilla_1h,
-        "gorilla_ratio_1h": q_gorilla_ratio_1h,
+        "profile_brute_1h": q_profile_brute_1h,
+        "ab_join_brute_1h": q_ab_join_brute_1h,
+        "discord_candidates_1h": q_discord_candidates_1h,
+        "motif_candidates_1h": q_motif_candidates_1h,
+        "fluss_brute_1h": q_fluss_brute_1h,
+        "streaming_stampi": q_streaming_stampi,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
@@ -2626,18 +2619,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_radius": q_ann_radius,
+        "ann_lsh_coord": q_ann_lsh_coord,
         "embedding_neardup": q_embedding_neardup,
-        "multimodal_features": q_multimodal_features,
-        "flagship_pages_1d": q_flagship_pages_1d,
-        "giant_mpx": q_giant_mpx,
-        "streaming_stampi": q_streaming_stampi,
-        "streaming_stampi_w24": q_streaming_stampi_w24,
+        "dedup_clusters": q_dedup_clusters,
         "sessionize_users": q_sessionize_users,
         "asof_join": q_asof_join,
         "moving_avg_1h": q_moving_avg_1h,
         "moving_minmax_1h": q_moving_minmax_1h,
-        "ann_radius": q_ann_radius,
         "orders_segment_join": q_orders_segment_join,
+        # -- further oracle-backed relational/corpus queries --
         "percentile_events": q_percentile_events,
         "token_histogram": q_token_histogram,
         "events_topk_per_type": q_events_topk_per_type,
@@ -2645,19 +2636,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_sum": q_events_running_sum,
         "customers_no_urgent": q_customers_no_urgent,
         "term_df_top": q_term_df_top,
-        "dedup_clusters": q_dedup_clusters,
         "stats_moments_events": q_stats_moments_events,
         "type_corr_pairs": q_type_corr_pairs,
         "brand_revenue": q_brand_revenue,
         "props_extract": q_props_extract,
         "docs_sample_hash": q_docs_sample_hash,
-        "ann_lsh_coord": q_ann_lsh_coord,
         "segment_lineitem_revenue": q_segment_lineitem_revenue,
-        "profile_brute_1h": q_profile_brute_1h,
-        "ab_join_brute_1h": q_ab_join_brute_1h,
-        "discord_candidates_1h": q_discord_candidates_1h,
-        "fluss_brute_1h": q_fluss_brute_1h,
-        "motif_candidates_1h": q_motif_candidates_1h,
+        # -- array-valued / non-SQL results (driver rows-only check):
+        # production w=24 pipelines (benched under these names) and
+        # inherently non-relational ops (PMP heatmap, snippets, codec
+        # ratios, multimodal, giant series, streaming shards).
+        "profile_mpx_w24_1h": q_profile_mpx_w24_1h,
+        "profile_stomp_w24_1h": q_profile_stomp_w24_1h,
+        "profile_scrimp_w24_1h": q_profile_scrimp_w24_1h,
+        "pmp_w24_1h": q_pmp_w24_1h,
+        "stampi_w24_1h": q_stampi_w24_1h,
+        "discords_w24_1h": q_discords_w24_1h,
+        "motifs_w24_1h": q_motifs_w24_1h,
+        "regimes_w24_1h": q_regimes_w24_1h,
+        "snippets_1d": q_snippets_1d,
+        "mpdist_pairs_w24_1h": q_mpdist_pairs_w24_1h,
+        "mstomp_w24_1h": q_mstomp_w24_1h,
+        "ab_join_w24_1h": q_ab_join_w24_1h,
+        "cluster_events": q_cluster_events,
+        "max_subsequence_1h": q_max_subsequence_1h,
+        "av_complexity_w24_1h": q_av_complexity_w24_1h,
+        "gorilla_ratio_1h": q_gorilla_ratio_1h,
+        "multimodal_features": q_multimodal_features,
+        "flagship_pages_1d": q_flagship_pages_1d,
+        "giant_mpx": q_giant_mpx,
+        "streaming_stampi_w24": q_streaming_stampi_w24,
     }
 
 
