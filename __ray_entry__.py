@@ -724,6 +724,17 @@ def q_token_count(sf_dir: str):
     return ds.map_batches(token_count, batch_format="pyarrow")
 
 
+def q_bpe_token_count(sf_dir: str):
+    """Whitespace + BPE-ish (GPT-2 pre-tokenizer regex) token counts.
+
+    RE2 evaluates the pattern on both sides of the oracle (pyarrow and
+    DuckDB), so the match counts are exactly equal — no rounding."""
+    from matrixprofile_ray.stages.text import bpe_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_count, batch_format="pyarrow")
+
+
 def q_text_quality(sf_dir: str):
     from matrixprofile_ray.stages.text import text_quality
 
@@ -849,6 +860,25 @@ def q_ann_topk(sf_dir: str):
     df = df[["query_id", "vec_id", "sim", "rank"]]
     for c in ("query_id", "vec_id", "rank"):
         df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """Int8 symmetric embedding quantization with exact-integer checksums.
+
+    The int8 code matrix itself stays inside the op (list columns don't
+    hash portably); the query exposes per-vector scale + exact integer
+    checksums, which pin every code byte: any rounding divergence flips
+    sum_q / sum_q2 / nnz."""
+    from matrixprofile_ray.stages.ann import quantize_embeddings
+    from matrixprofile_ray.stages.relational import _round6_away
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ds.map_batches(quantize_embeddings, batch_format="pandas")
+    df = out.select_columns(
+        ["vec_id", "qscale", "sum_q", "sum_q2", "nnz"]
+    ).to_pandas()
+    df["qscale"] = _round6_away(df["qscale"].to_numpy())
     return df.reset_index(drop=True)
 
 
@@ -2631,6 +2661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- further oracle-backed relational/corpus queries --
         "percentile_events": q_percentile_events,
         "token_histogram": q_token_histogram,
+        "bpe_token_count": q_bpe_token_count,
+        "quantize_embeddings": q_quantize_embeddings,
         "events_topk_per_type": q_events_topk_per_type,
         "events_lag_stats": q_events_lag_stats,
         "events_running_sum": q_events_running_sum,
@@ -3278,6 +3310,44 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+            FROM documents
+        """,
+        "quantize_embeddings": """
+            WITH s AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                       list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, scale,
+                       list_transform(e, x -> CAST(greatest(-127.0,
+                           least(127.0, round(x / (CASE WHEN scale = 0
+                               THEN 1 ELSE scale END)))) AS BIGINT)) AS codes
+                FROM s
+            )
+            SELECT vec_id, ROUND(scale, 6) AS qscale,
+                   -- list_sum yields HUGEINT → cast back to BIGINT so the
+                   -- dtype (and the driver's per-column hash encoding)
+                   -- matches the engine's int64
+                   CAST(CASE WHEN scale = 0 THEN 0
+                        ELSE list_sum(codes) END AS BIGINT) AS sum_q,
+                   CAST(CASE WHEN scale = 0 THEN 0
+                        ELSE list_sum(list_transform(codes, c -> c * c))
+                   END AS BIGINT) AS sum_q2,
+                   CAST(CASE WHEN scale = 0 THEN 0
+                        ELSE len(list_filter(codes, c -> c != 0))
+                   END AS BIGINT) AS nnz
+            FROM q
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d'
+                       || '| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+                   )) AS n_bpe_tokens
             FROM documents
         """,
         "text_quality": rf"""

@@ -11,6 +11,13 @@ plus the synthetic Common-Crawl pages flagship, and prints ONE JSON line:
 `--scaling` runs the flagship twice in FRESH processes at num_cpus=8 and
 num_cpus=32 on the same input and reports both throughputs + the scaling
 efficiency (the sandbox proxy for the north rule's N vs 4N nodes).
+
+`--volume` runs the flagship at BOTH legs of $GRAFT_SCALING_CPUS for each
+(rows, domains) point in $GRAFT_VOLUME_POINTS (semicolon-separated
+"rows,domains" pairs; default sweeps a corpus doubling at a fixed key
+universe AND a key-universe doubling at fixed corpus) — the 100-TB axis
+evidence: corpus volume should be near-free, the key universe is what
+costs a fixed shuffle grid.
 """
 
 from __future__ import annotations
@@ -340,11 +347,59 @@ def run_scaling() -> dict:
     }
 
 
+VOLUME_POINTS = [
+    tuple(int(v) for v in p.split(","))
+    for p in os.environ.get(
+        "GRAFT_VOLUME_POINTS",
+        # corpus doubling at fixed 8k-domain universe, then a key-universe
+        # doubling at fixed 2M corpus (rows,domains per point)
+        "2000000,8000;4000000,8000;2000000,16000",
+    ).split(";")
+]
+
+
+def run_volume() -> dict:
+    """Flagship throughput at each (rows, domains) point, both CPU legs.
+
+    Fresh process per leg (same isolation as --scaling). The 100-TB claim
+    this measures: with the in-batch combiner the shuffle + profile work is
+    bounded by the (domain x bucket) grid, so rows/s should IMPROVE as the
+    corpus doubles at a fixed key universe, and drop only when the KEY
+    UNIVERSE doubles."""
+    small, big = SCALING_CPUS
+    points = []
+    for rows, domains in VOLUME_POINTS:
+        point = {"pages_rows": rows, "n_domains": domains}
+        for n in (small, big):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(n)
+            env["GRAFT_PAGES_ROWS"] = str(rows)
+            env["GRAFT_DOMAINS"] = str(domains)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--flagship-only"],
+                capture_output=True, text=True, env=env, timeout=3600,
+            )
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+            point[f"rows_per_sec_cpus{n}"] = res["pages_rows_per_sec"]
+            point[f"wall_s_cpus{n}"] = res["wall_s"]
+        points.append(point)
+    return {
+        "metric": "flagship volume scaling (rows x key-universe sweep)",
+        "unit": "rows/sec",
+        "cpus_small": small,
+        "cpus_big": big,
+        "points": points,
+    }
+
+
 def main():
     import ray
 
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+        return
+    if "--volume" in sys.argv:
+        print(json.dumps(run_volume()))
         return
     if "--flagship-only" in sys.argv:
         _init_ray(NUM_CPUS)

@@ -115,6 +115,51 @@ def brute_force_topk(ds, queries: dict[int, np.ndarray], k: int = 10,
     return _global_topk_stage(candidates, k, with_rank=True)
 
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero (DuckDB ROUND semantics; np.round is
+    half-to-even — mirroring requires this explicit form)."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def quantize_embeddings(batch, id_col: str = "vec_id",
+                        col: str = "embedding"):
+    """Per-vector symmetric int8 quantization (pandas batch → pandas).
+
+    scale = max|v| / 127; codes = clip(round_away(v / scale), ±127) — the
+    standard 4x memory cut for ANN shards at 100-TB scale (int8 codes +
+    one float scale per vector instead of float32 components). All-zero
+    vectors get scale 0 / all-zero codes. Exactly mirrorable in SQL:
+    float32→float64 promotion is exact, max/div are single IEEE ops on
+    both sides, and round-half-away matches DuckDB ROUND.
+
+    Output: id, qscale (float64), codes (fixed_size_list<int8>, built
+    zero-copy from the (n, d) code matrix — no per-row Python), plus
+    exact-integer checksums (sum_q, sum_q2, nnz) that make the op
+    oracle-comparable without hashing floats.
+    """
+    import pyarrow as pa
+
+    mat = _embed_matrix(batch[col])
+    n, d = mat.shape
+    amax = np.abs(mat).max(axis=1)
+    scale = amax / 127.0
+    safe = np.where(scale == 0.0, 1.0, scale)
+    q = _round_half_away(mat / safe[:, None])
+    q = np.clip(q, -127, 127).astype(np.int64)
+    q[scale == 0.0] = 0
+    codes = pa.FixedSizeListArray.from_arrays(
+        pa.array(q.astype(np.int8).ravel()), d
+    )
+    return pa.table({
+        id_col: pa.array(np.asarray(batch[id_col]), pa.int64()),
+        "qscale": pa.array(scale),
+        "codes": codes,
+        "sum_q": pa.array(q.sum(axis=1)),
+        "sum_q2": pa.array((q * q).sum(axis=1)),
+        "nnz": pa.array((q != 0).sum(axis=1).astype(np.int64)),
+    })
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 11) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.normal(size=(dim, nbits))

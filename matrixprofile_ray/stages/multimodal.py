@@ -182,6 +182,20 @@ def image_features(px: np.ndarray, dim: int) -> np.ndarray:
     return np.asarray(cells[:dim], dtype=np.float64)
 
 
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor image resize (pure numpy, fancy-index gather).
+
+    Pixel-center sampling (the +0.5 offset) so up/downscales stay centered
+    — the standard training-data thumbnail step between decode and
+    feature-extract. Vectorized: one gather, no Python pixel loop."""
+    h, w = px.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64),
+                    h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64),
+                    w - 1)
+    return px[ys][:, xs]
+
+
 def audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
     """Windowed RMS energy: the track is split into ``dim`` equal windows
     and each contributes its RMS amplitude (0..1 of int16 full scale)."""
@@ -204,22 +218,30 @@ class DecodeStage:
     Output: media_id, kind, n_bytes, feature (list<float>, dim ``dim``).
     """
 
-    def __init__(self, dim: int = 16, fake: bool = True):
+    def __init__(self, dim: int = 16, fake: bool = True,
+                 thumb: tuple[int, int] | None = None):
         self.dim = dim
         self.fake = fake
+        # decode → (optional) thumbnail resize → feature-extract; thumb
+        # bounds per-image work regardless of source resolution
+        self.thumb = thumb
         # a real implementation would do: self.codec = load_codec(...)
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if not self.fake:
             # real decode path: the formats a pure-Python parser can own
             if payload[:2] == b"BM":
-                return image_features(decode_bmp(payload), self.dim)
+                px = decode_bmp(payload)
+                if self.thumb is not None:
+                    px = resize_nearest(px, *self.thumb)
+                return image_features(px, self.dim)
             if payload[:2] == b"\xff\xd8":
                 from matrixprofile_ray.stages.jpeg import decode_jpeg
 
-                return image_features(
-                    decode_jpeg(payload).astype(np.float64), self.dim
-                )
+                px = decode_jpeg(payload).astype(np.float64)
+                if self.thumb is not None:
+                    px = resize_nearest(px, *self.thumb)
+                return image_features(px, self.dim)
             if payload[:4] == b"RIFF":
                 samples, _ = decode_wav(payload)
                 return audio_features(samples, self.dim)

@@ -48,6 +48,34 @@ def token_count(batch: pa.Table) -> pa.Table:
     })
 
 
+# GPT-2-style pre-tokenizer, RE2-safe (no lookahead — the reference
+# regex's trailing `\s+(?!\S)` is dropped, making this "BPE-ish"):
+# contractions, space-prefixed letter runs, digit runs, punctuation runs,
+# residual whitespace. RE2 is the engine on BOTH sides of the oracle
+# (pyarrow.compute and DuckDB), so match counts are bit-identical.
+BPE_TOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(batch: pa.Table) -> pa.Table:
+    """doc_id + n_tokens (whitespace) + n_bpe_tokens (GPT-2-ish regex).
+
+    The BPE-ish count is the pre-tokenizer match count — the upper bound a
+    byte-pair vocabulary would start merging from; it is the cheap
+    length-budget signal an LLM-data pipeline filters on."""
+    ws = pc.list_value_length(
+        pc.split_pattern_regex(pc.utf8_trim_whitespace(batch["text"]), r"\s+")
+    )
+    bpe = pc.count_substring_regex(batch["text"], BPE_TOKEN_PATTERN)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pc.cast(ws, pa.int64()),
+        "n_bpe_tokens": pc.cast(bpe, pa.int64()),
+    })
+
+
 def text_quality(batch: pa.Table) -> pa.Table:
     """Quality-scoring features per document.
 

@@ -64,6 +64,34 @@ class TestTextOps:
         out = lang_id(_docs(["the cat and the dog went to the park"]))
         assert out["lang_pred"][0].as_py() == "en"
 
+    def test_bpe_token_count_matches_duckdb_re2(self):
+        import duckdb
+
+        from matrixprofile_ray.stages.text import (
+            BPE_TOKEN_PATTERN,
+            bpe_token_count,
+        )
+
+        texts = ["Hello, world! It's 2026.", "  multi   space\ttabs",
+                 "", "naïve café №42 — move", "don't stop'll", "a'b's"]
+        t = _docs(texts)
+        out = bpe_token_count(t).to_pandas().sort_values("doc_id")
+        con = duckdb.connect()
+        con.register("d", t)
+        sql = con.execute(
+            "SELECT doc_id, len(regexp_extract_all(text, ?)) AS n "
+            "FROM d ORDER BY doc_id", [BPE_TOKEN_PATTERN]).df()
+        # RE2 on both sides → exactly equal match counts
+        assert out["n_bpe_tokens"].tolist() == sql["n"].tolist()
+
+    def test_bpe_token_count_shapes(self):
+        from matrixprofile_ray.stages.text import bpe_token_count
+
+        out = bpe_token_count(_docs(["it's a test", ""])).to_pandas()
+        # "it" "'s" " a" " test" → 4; empty text → 0 bpe tokens
+        assert out["n_bpe_tokens"].tolist() == [4, 0]
+        assert out["n_tokens"].tolist() == [3, 1]
+
     def test_fingerprint_equal_texts_equal_fp(self):
         out = fingerprint(_docs(["hello world again", "hello world again",
                                  "different text here"]))
@@ -181,6 +209,52 @@ class TestAnnKernels:
         assert set(out.nlargest(5, "sim")["vec_id"]) == top
 
 
+class TestQuantize:
+    def _embs(self, mat):
+        return pd.DataFrame({
+            "vec_id": np.arange(len(mat), dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in mat],
+        })
+
+    def test_int8_roundtrip_error_bound(self):
+        from matrixprofile_ray.stages.ann import quantize_embeddings
+
+        rng = np.random.default_rng(3)
+        mat = rng.normal(size=(40, 16))
+        out = quantize_embeddings(self._embs(mat)).to_pandas()
+        codes = np.vstack(out["codes"].to_numpy()).astype(np.float64)
+        recon = codes * out["qscale"].to_numpy()[:, None]
+        src = np.vstack(self._embs(mat)["embedding"]).astype(np.float64)
+        # dequantization error is bounded by half a step per component
+        assert np.abs(recon - src).max() <= out["qscale"].max() / 2 + 1e-12
+        # the max-|v| component always hits ±127
+        assert (np.abs(codes).max(axis=1) == 127).all()
+
+    def test_zero_vector_and_checksums_match_duckdb(self):
+        import duckdb
+
+        from matrixprofile_ray.stages.ann import quantize_embeddings
+
+        rng = np.random.default_rng(5)
+        mat = rng.normal(size=(20, 8))
+        mat[3] = 0.0                          # all-zero vector edge
+        df = self._embs(mat)
+        out = quantize_embeddings(df).to_pandas().sort_values("vec_id")
+        assert out.loc[out["vec_id"] == 3, "nnz"].item() == 0
+        con = duckdb.connect()
+        con.register("embeddings", pa.table({
+            "vec_id": pa.array(df["vec_id"]),
+            "embedding": pa.array(
+                [r for r in df["embedding"]], pa.list_(pa.float32())),
+        }))
+        import __ray_entry__ as entry
+        sql = con.execute(entry.oracle_sql()["quantize_embeddings"]).df()
+        sql = sql.sort_values("vec_id").reset_index(drop=True)
+        for c in ("sum_q", "sum_q2", "nnz"):
+            assert out[c].astype("int64").tolist() == \
+                sql[c].astype("int64").tolist(), c
+
+
 class TestIvf:
     def test_ivf_recall_vs_brute_force(self, ray_session):
         """Probing all cells ⇒ recall 1.0 (exact); fewer probes ⇒ subset of
@@ -250,6 +324,40 @@ class TestMultimodal:
         media = attach_fake_media(_docs(["hello"])).to_pandas()
         with pytest.raises(NotImplementedError):
             DecodeStage(fake=False)(media)
+
+    def test_resize_nearest(self):
+        from matrixprofile_ray.stages.multimodal import resize_nearest
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+        up = resize_nearest(px, 16, 12)
+        assert up.shape == (16, 12, 3)
+        # 2x nearest upscale = each source pixel repeated 2x2
+        np.testing.assert_array_equal(up, np.repeat(np.repeat(px, 2, 0), 2, 1))
+        down = resize_nearest(px, 4, 3)
+        assert down.shape == (4, 3, 3)
+        # every output pixel must be SOME source pixel (no interpolation)
+        flat_src = {tuple(p) for p in px.reshape(-1, 3)}
+        assert all(tuple(p) in flat_src for p in down.reshape(-1, 3))
+        # identity resize is exact
+        np.testing.assert_array_equal(resize_nearest(px, 8, 6), px)
+
+    def test_decode_stage_thumb_path(self):
+        from matrixprofile_ray.stages.multimodal import encode_bmp
+
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+        batch = pd.DataFrame({
+            "media_id": [1], "kind": ["image"],
+            "payload": [encode_bmp(px)],
+        })
+        full = DecodeStage(dim=4, fake=False)(batch)
+        thumb = DecodeStage(dim=4, fake=False, thumb=(6, 5))(batch)
+        assert len(thumb) == 1 and len(thumb["feature"][0]) == 4
+        # thumbnailing changes the pixels the grid means see, but only
+        # slightly for a smooth-ish image — same schema, finite values
+        assert np.isfinite(thumb["feature"][0]).all()
+        assert not np.array_equal(full["feature"][0], thumb["feature"][0])
 
     def test_bmp_roundtrip_exact(self):
         from matrixprofile_ray.stages.multimodal import decode_bmp, encode_bmp
