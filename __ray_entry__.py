@@ -863,6 +863,21 @@ def q_ann_topk(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q_stratified_cap(sf_dir: str):
+    """Per-language document cap (stratified downsample, 20 per lang).
+
+    Survivor set is a pure function of (lang, doc_id) via the mirrored
+    Knuth hash — zero floats, so the oracle compare is exact."""
+    from matrixprofile_ray.stages.relational import stratified_cap
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    df = stratified_cap(
+        ds, "lang", "doc_id", cap=20, extra_cols=("source",)
+    ).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df[["lang", "doc_id", "source"]].reset_index(drop=True)
+
+
 def q_quantize_embeddings(sf_dir: str):
     """Int8 symmetric embedding quantization with exact-integer checksums.
 
@@ -2663,6 +2678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_histogram": q_token_histogram,
         "bpe_token_count": q_bpe_token_count,
         "quantize_embeddings": q_quantize_embeddings,
+        "stratified_cap": q_stratified_cap,
         "events_topk_per_type": q_events_topk_per_type,
         "events_lag_stats": q_events_lag_stats,
         "events_running_sum": q_events_running_sum,
@@ -3311,6 +3327,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
             FROM documents
+        """,
+        "stratified_cap": """
+            SELECT lang, doc_id, source
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296,
+                         doc_id
+            ) <= 20
         """,
         "quantize_embeddings": """
             WITH s AS (

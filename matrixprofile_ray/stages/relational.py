@@ -299,6 +299,41 @@ def anti_join_count(left_ds, right_ds, left_key: str, right_key: str,
     return totals.map_batches(rename, batch_format="pandas")
 
 
+def stratified_cap(ds, key_col: str, id_col: str, cap: int,
+                   extra_cols: tuple = ()):
+    """Deterministic per-key row cap (stratified downsample).
+
+    The web-pipeline balancing step: keep at most ``cap`` rows per key
+    (domain / language / source), chosen by a Knuth-multiplicative hash of
+    the id — an unbiased, engine-independent pseudo-random order, so the
+    SAME rows survive on any engine, any partitioning, any scale. Order
+    key is (hash(id), id): the id tiebreak makes the total order exact
+    even on hash collisions. One partition-cardinality shuffle; the fold
+    is one vectorized sort + groupby.head per partition.
+
+    SQL mirror: QUALIFY row_number() OVER (PARTITION BY key ORDER BY
+    (id::HUGEINT * 2654435761) % 4294967296, id) <= cap — same constant,
+    same modulus, computed in uint64 here so neither side can wrap
+    (ADVICE r3: signed int64 multiply wraps at doc_id ~3.47e9 while
+    DuckDB BIGINT raises; uint64/HUGEINT agree everywhere).
+    """
+
+    cols = [key_col, id_col, *extra_cols]
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[cols].copy()
+        h = (part[id_col].to_numpy().astype(np.uint64)
+             * np.uint64(2654435761)) % np.uint64(4294967296)
+        part["_h"] = h
+        part = part.sort_values([key_col, "_h", id_col], kind="stable")
+        top = part.groupby(key_col, sort=False).head(cap)
+        return top.drop(columns=["_h"])
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    return partitioned_group_map(ds, [key_col], fold)
+
+
 def grouped_topk(ds, key_col: str, value_col: str, k: int = 3,
                  extra_cols: tuple = ()):
     """Top-k rows per key by value (ties break by the extra columns then

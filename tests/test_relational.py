@@ -64,6 +64,51 @@ class TestAsofJoin:
         assert out["val"].tolist() == [1.0, 2.0]
 
 
+class TestStratifiedCap:
+    def test_cap_and_determinism_vs_duckdb(self):
+        import duckdb
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import stratified_cap
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({
+            "doc_id": np.arange(300, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "fr"], size=300),
+            "source": rng.choice(["web", "books"], size=300),
+        })
+        got = stratified_cap(
+            rd.from_pandas(df), "lang", "doc_id", cap=15,
+            extra_cols=("source",),
+        ).to_pandas().sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        # per-key cap respected
+        assert (got.groupby("lang").size() <= 15).all()
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = con.execute("""
+            SELECT lang, doc_id, source FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296, doc_id
+            ) <= 15
+        """).df().sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["lang", "doc_id", "source"]], want
+        )
+
+    def test_small_groups_pass_through(self):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import stratified_cap
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "lang": ["en"] * 3 + ["de"] * 3,
+        })
+        got = stratified_cap(rd.from_pandas(df), "lang", "doc_id", cap=10)
+        assert got.count() == 6
+
+
 class TestGroupPercentiles:
     def test_matches_numpy(self, ray_session):
         import ray.data as rd
