@@ -119,7 +119,11 @@ def bench_queries() -> dict:
         "profile_mpx_w24_1h",
         "profile_stomp_w24_1h",
         "discords_w24_1h",
-        "gorilla_1h",
+        # production codec path (encode + bit accounting); "gorilla_1h"
+        # became the oracle roundtrip query in round 4 (emits a decoded
+        # point per input point for the SQL compare) and no longer
+        # represents codec throughput
+        "gorilla_ratio_1h",
         "dedup_exact",
         "token_count",
         "text_quality",
