@@ -863,6 +863,24 @@ def q_ann_topk(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q_histogram_quantiles(sf_dir: str):
+    """Sketch-based per-type value quantiles (mergeable integer bins).
+
+    The integer bin counts pin the result exactly — the only float math
+    is the shared edge/rank arithmetic, mirrored op-for-op in the SQL."""
+    from matrixprofile_ray.stages.relational import histogram_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    df = histogram_quantiles(
+        ds, "event_type", "value", qs=(0.5, 0.95, 0.99),
+        lo=0.0, hi=1000.0, nbins=2000,
+    ).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df[["event_type", "q", "quantile", "n"]].sort_values(
+        ["event_type", "q"]
+    ).reset_index(drop=True)
+
+
 def q_stratified_cap(sf_dir: str):
     """Per-language document cap (stratified downsample, 20 per lang).
 
@@ -2679,6 +2697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": q_bpe_token_count,
         "quantize_embeddings": q_quantize_embeddings,
         "stratified_cap": q_stratified_cap,
+        "histogram_quantiles": q_histogram_quantiles,
         "events_topk_per_type": q_events_topk_per_type,
         "events_lag_stats": q_events_lag_stats,
         "events_running_sum": q_events_running_sum,
@@ -3327,6 +3346,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
             FROM documents
+        """,
+        "histogram_quantiles": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(least(greatest(
+                           floor(((value - 0.0) * 2000) / 1000.0),
+                       0), 1999) AS BIGINT) AS bin
+                FROM events
+            ),
+            c AS (
+                SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+                FROM b GROUP BY event_type, bin
+            ),
+            cum AS (
+                SELECT event_type, bin,
+                       SUM(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY bin) AS cum,
+                       SUM(cnt) OVER (PARTITION BY event_type) AS n
+                FROM c
+            ),
+            qs AS (SELECT CAST(q AS DOUBLE) AS q
+                   FROM (VALUES (0.5), (0.95), (0.99)) AS t(q)),
+            hit AS (
+                SELECT event_type, q, CAST(n AS BIGINT) AS n,
+                       min(bin) AS b
+                FROM cum CROSS JOIN qs
+                WHERE cum >= greatest(CAST(ceil(q * n) AS BIGINT), 1)
+                GROUP BY event_type, q, n
+            )
+            SELECT event_type, q,
+                   0.0 + (b * 1000.0) / 2000 AS quantile, n
+            FROM hit
         """,
         "stratified_cap": """
             SELECT lang, doc_id, source

@@ -299,6 +299,60 @@ def anti_join_count(left_ds, right_ds, left_key: str, right_key: str,
     return totals.map_batches(rename, batch_format="pandas")
 
 
+def histogram_quantiles(ds, key_col: str, value_col: str,
+                        qs: tuple = (0.5, 0.95, 0.99),
+                        lo: float = 0.0, hi: float = 1000.0,
+                        nbins: int = 2000):
+    """Mergeable fixed-bin histogram-sketch quantiles per key.
+
+    The 100-TB scale path next to :func:`group_percentiles` (which must
+    co-locate every value of a key to sort it): here each batch folds its
+    rows into integer (key, bin) counts FIRST, so the shuffle carries at
+    most nbins rows per key regardless of data volume, and merge is
+    count addition — associative, order-independent, exactly the shape a
+    256-node pre-aggregation wants. Result quantile is the LEFT EDGE of
+    the first bin whose cumulative count reaches ceil(q*n) — a pure
+    function of the integer counts, so the DuckDB oracle (width-bucket
+    counts + window cumsum) matches exactly; precision is (hi-lo)/nbins.
+    """
+
+    span = hi - lo
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype="d")
+        # mirror: floor(((v - lo) * nbins) / (hi - lo)), clipped to range
+        idx = np.floor(((v - lo) * nbins) / span)
+        idx = np.clip(idx, 0, nbins - 1).astype(np.int64)
+        g = pd.DataFrame({key_col: batch[key_col].to_numpy(), "bin": idx})
+        out = g.groupby([key_col, "bin"], sort=False).size()
+        out = out.rename("cnt").reset_index()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    def finalize(part: pd.DataFrame) -> pd.DataFrame:
+        merged = part.groupby([key_col, "bin"], sort=True)["cnt"].sum()
+        merged = merged.reset_index()
+        rows = []
+        for key, grp in merged.groupby(key_col, sort=True):
+            bins = grp["bin"].to_numpy()
+            cum = grp["cnt"].to_numpy().cumsum()
+            n = int(cum[-1])
+            for q in qs:
+                r = int(np.ceil(q * n))
+                b = int(bins[np.searchsorted(cum, max(r, 1))])
+                rows.append({
+                    key_col: key, "q": q,
+                    "quantile": lo + (b * span) / nbins,
+                    "n": n,
+                })
+        return pd.DataFrame(rows)
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partitioned_group_map(partials, [key_col], finalize)
+
+
 def stratified_cap(ds, key_col: str, id_col: str, cap: int,
                    extra_cols: tuple = ()):
     """Deterministic per-key row cap (stratified downsample).

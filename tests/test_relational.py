@@ -64,6 +64,62 @@ class TestAsofJoin:
         assert out["val"].tolist() == [1.0, 2.0]
 
 
+class TestHistogramQuantiles:
+    def test_within_bin_width_of_exact_and_matches_duckdb(self):
+        import duckdb
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import histogram_quantiles
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame({
+            "event_type": rng.choice(["a", "b"], size=4000),
+            "value": rng.gamma(2.0, 50.0, size=4000),
+        })
+        got = histogram_quantiles(
+            rd.from_pandas(df), "event_type", "value",
+            qs=(0.5, 0.95), lo=0.0, hi=1000.0, nbins=2000,
+        ).to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True)
+        # sketch left-edge is within one bin width below the exact value
+        width = 1000.0 / 2000
+        for _, r in got.iterrows():
+            vals = df.loc[df["event_type"] == r["event_type"], "value"]
+            exact = np.quantile(vals.clip(0, 1000), r["q"],
+                                method="inverted_cdf")
+            assert r["quantile"] <= exact <= r["quantile"] + width
+        # exact oracle agreement (integer bins pin the result)
+        con = duckdb.connect()
+        con.register("events", df)
+        import __ray_entry__ as entry
+        sql = entry.oracle_sql()["histogram_quantiles"].replace(
+            "(0.5), (0.95), (0.99)", "(0.5), (0.95)")
+        want = con.execute(sql).df().sort_values(
+            ["event_type", "q"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["event_type", "q", "quantile"]].astype(
+                {"quantile": "float64"}),
+            want[["event_type", "q", "quantile"]],
+        )
+
+    def test_merge_is_partition_invariant(self):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import histogram_quantiles
+
+        rng = np.random.default_rng(17)
+        df = pd.DataFrame({
+            "event_type": ["k"] * 1000,
+            "value": rng.uniform(0, 500, size=1000),
+        })
+        a = histogram_quantiles(rd.from_pandas(df), "event_type", "value")
+        b = histogram_quantiles(
+            rd.from_pandas(df).repartition(7), "event_type", "value")
+        pd.testing.assert_frame_equal(
+            a.to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True),
+            b.to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True),
+        )
+
+
 class TestStratifiedCap:
     def test_cap_and_determinism_vs_duckdb(self):
         import duckdb
