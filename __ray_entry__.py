@@ -881,6 +881,33 @@ def q_histogram_quantiles(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact corpus heavy hitters (token count > n_total/50) via the
+    2-pass pigeonhole candidate protocol — candidate pass shuffles at
+    most k-1 rows per batch, verify pass only candidate counts."""
+    from matrixprofile_ray.stages.text import heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    df = heavy_hitters(ds, k=50)
+    for c in ("cnt", "n_total"):
+        df[c] = df[c].astype("int64")
+    return df[["token", "cnt", "n_total"]]
+
+
+def q_sequence_packing(sf_dir: str):
+    """Global training-bin packing: distributed prefix sum of token
+    counts in doc_id order → start offset + 2048-token bin per doc."""
+    from matrixprofile_ray.stages.text import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = pack_sequences(ds, cap=2048).to_pandas()
+    for c in ("doc_id", "n_tokens", "start_offset", "bin"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_tokens", "start_offset", "bin"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def q_stratified_cap(sf_dir: str):
     """Per-language document cap (stratified downsample, 20 per lang).
 
@@ -2698,6 +2725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": q_quantize_embeddings,
         "stratified_cap": q_stratified_cap,
         "histogram_quantiles": q_histogram_quantiles,
+        "heavy_hitters": q_heavy_hitters,
+        "sequence_packing": q_sequence_packing,
         "events_topk_per_type": q_events_topk_per_type,
         "events_lag_stats": q_events_lag_stats,
         "events_running_sum": q_events_running_sum,
@@ -3378,6 +3407,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, q,
                    0.0 + (b * 1000.0) / 2000 AS quantile, n
             FROM hit
+        """,
+        "heavy_hitters": r"""
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                           AS token
+                FROM documents
+            ), nz AS (
+                SELECT token FROM toks WHERE token <> ''
+            ), tot AS (
+                SELECT COUNT(*)::BIGINT AS n_total FROM nz
+            ), counts AS (
+                SELECT token, COUNT(*)::BIGINT AS cnt
+                FROM nz GROUP BY token
+            )
+            SELECT c.token, c.cnt, t.n_total
+            FROM counts c CROSS JOIN tot t
+            WHERE c.cnt * 50 > t.n_total
+            ORDER BY c.cnt DESC, c.token ASC
+        """,
+        "sequence_packing": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+                           AS n_tokens
+                FROM documents
+            ), o AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)::BIGINT
+                           AS start_offset
+                FROM t
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   (start_offset // 2048)::BIGINT AS bin
+            FROM o ORDER BY doc_id
         """,
         "stratified_cap": """
             SELECT lang, doc_id, source

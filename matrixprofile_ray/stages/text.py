@@ -20,6 +20,8 @@ __all__ = [
     "fingerprint",
     "token_histogram",
     "term_df_top",
+    "heavy_hitters",
+    "pack_sequences",
     "TOP_STOPWORDS",
 ]
 
@@ -225,6 +227,183 @@ def term_df_top(ds, k: int = 10, group_col: str = "lang"):
     totals = totals.map_batches(rename, batch_format="pandas")
     return grouped_topk(totals, group_col, "doc_freq", k=k,
                         extra_cols=("token",))
+
+
+def heavy_hitters(ds, k: int = 50, text_col: str = "text",
+                  max_candidates: int = 100_000):
+    """EXACT corpus heavy hitters: tokens with count > n_total/k, via the
+    2-pass local-candidate protocol (Misra-Gries-style candidate pass +
+    exact verification pass).
+
+    Pass 1 never shuffles the vocabulary: each batch counts its own
+    tokens in-batch and emits ONLY its local heavy hitters (cnt_b*k >
+    n_b) — by pigeonhole at most k-1 rows per batch — plus one sentinel
+    row carrying the batch token total. Pigeonhole also gives the
+    exactness guarantee: a token with global cnt*k > n_total must be
+    locally heavy in at least one batch (if cnt_b*k <= n_b everywhere,
+    summing gives cnt*k <= n_total), so the candidate union is a strict
+    superset of the true heavy hitters. The candidate union is
+    vocabulary-of-locally-heavy-sized (stopword-scale, NOT corpus-scale;
+    guarded by ``max_candidates`` so pathological corpora fail loudly
+    instead of flooding the driver).
+
+    Pass 2 broadcasts the candidate set once (``ray.put``) and counts
+    ONLY candidate tokens per batch — a |C|-bounded exchange — then
+    filters cnt*k > n_total exactly. All arithmetic is int64 counts, so
+    the result is bit-reproducible under any partitioning and matches a
+    full-scan SQL oracle exactly.
+
+    Returns a pandas DataFrame (token, cnt, n_total) sorted by
+    cnt desc, token asc.
+    """
+    import pandas as pd
+    import ray
+
+    def local_heavy(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col])), r"\s+"
+        )
+        counted = pc.list_flatten(toks).value_counts()
+        tok = np.asarray(counted.field("values"))
+        cnt = np.asarray(counted.field("counts"), dtype=np.int64)
+        keep = tok != ""
+        tok, cnt = tok[keep], cnt[keep]
+        n_b = int(cnt.sum())
+        heavy = cnt * k > n_b
+        return pa.table({
+            "token": pa.array(
+                np.concatenate((tok[heavy], [""])), pa.string()),
+            "cnt": pa.array(
+                np.concatenate((cnt[heavy], [n_b])), pa.int64()),
+        })
+
+    cand = (
+        ds.map_batches(local_heavy, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+        .take_all()  # bounded: locally-heavy vocabulary + 1 sentinel
+    )
+    n_total = 0
+    cand_set = set()
+    for row in cand:
+        if row["token"] == "":
+            n_total = int(row["sum(cnt)"])
+        else:
+            cand_set.add(row["token"])
+    if len(cand_set) > max_candidates:
+        raise ValueError(
+            f"heavy_hitters candidate union {len(cand_set)} exceeds "
+            f"max_candidates={max_candidates}; raise k or the guard"
+        )
+    cand_ref = ray.put(np.array(sorted(cand_set), dtype=object))
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        cand_arr = ray.get(cand_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col])), r"\s+"
+        )
+        counted = pc.list_flatten(toks).value_counts()
+        tok = np.asarray(counted.field("values"))
+        cnt = np.asarray(counted.field("counts"), dtype=np.int64)
+        keep = np.isin(tok, cand_arr)
+        return pa.table({
+            "token": pa.array(tok[keep], pa.string()),
+            "cnt": pa.array(cnt[keep], pa.int64()),
+        })
+
+    exact = (
+        ds.map_batches(count_candidates, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+        .take_all()  # bounded by |C|
+    )
+    df = pd.DataFrame(
+        [(r["token"], int(r["sum(cnt)"])) for r in exact],
+        columns=["token", "cnt"],
+    )
+    df = df[df["cnt"] * k > n_total]
+    df["n_total"] = np.int64(n_total)
+    return df.sort_values(
+        ["cnt", "token"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def pack_sequences(ds, cap: int = 2048, num_buckets: int = 1024):
+    """Global sequence packing for LLM training: assign every document
+    its start offset in the concatenated token stream (ordered by
+    doc_id) and the fixed-capacity training bin that offset lands in.
+
+    This is a distributed PREFIX SUM — the op behind "pack documents
+    into 2048-token sequences". Topology (no corpus-sized shuffle, no
+    global sort):
+
+    1. one tokenize pass → slim (doc_id, n_tokens) counts, materialized
+       once (16 B/row — at 10^10 docs that is ~160 GB spread over the
+       cluster's object store, the deliberate cost of consuming it
+       thrice);
+    2. min/max(doc_id) + per-RANGE-bucket token sums
+       (``groupby(bucket).sum``) — a ``num_buckets``-row table whose
+       running sum on the driver gives each bucket's base offset;
+    3. one ``partitioned_group_map`` on the bucket: sort the bucket's
+       docs by doc_id, local cumsum, add the broadcast base.
+
+    All arithmetic is int64 token counts, so offsets and bin ids are
+    bit-identical to the SQL window oracle
+    (``SUM(n_tokens) OVER (ORDER BY doc_id ROWS ... 1 PRECEDING)``) at
+    any partitioning. Buckets are doc_id ranges, so a skewed id space
+    skews bucket sizes — acceptable because the per-bucket fold is a
+    cumsum over a slim frame, not a kernel.
+
+    Returns a Dataset (doc_id, n_tokens, start_offset, bin).
+    """
+    import pandas as pd
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    counts = ds.map_batches(token_count, batch_format="pyarrow")
+    counts = counts.materialize()
+
+    lo = int(counts.min("doc_id"))
+    hi = int(counts.max("doc_id"))
+    span = max(hi - lo + 1, 1)
+    nb = min(num_buckets, span)
+    width = -(-span // nb)  # ceil; (d-lo)//width < nb, no int64 overflow
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], dtype=np.int64)
+        b = (d - lo) // width
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    with_bucket = counts.map_batches(add_bucket, batch_format="pyarrow")
+
+    sums = with_bucket.groupby("bucket").sum("n_tokens").take_all()
+    sums.sort(key=lambda r: r["bucket"])
+    base = np.zeros(nb, dtype=np.int64)
+    acc = 0
+    for row in sums:
+        base[int(row["bucket"])] = acc
+        acc += int(row["sum(n_tokens)"])
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values("doc_id", kind="mergesort")
+        n = part["n_tokens"].to_numpy(dtype=np.int64)
+        b = part["bucket"].to_numpy(dtype=np.int64)
+        cs = np.cumsum(n) - n
+        # rebase each bucket's local prefix to the global base offset
+        starts = np.ones(len(b), dtype=bool)
+        starts[1:] = b[1:] != b[:-1]
+        seg_start = np.flatnonzero(starts)
+        seg_len = np.diff(np.append(seg_start, len(b)))
+        local0 = np.repeat(cs[seg_start], seg_len)
+        off = cs - local0 + base[b]
+        return pd.DataFrame({
+            "doc_id": part["doc_id"].to_numpy(dtype=np.int64),
+            "n_tokens": n,
+            "start_offset": off,
+            "bin": off // cap,
+        })
+
+    return partitioned_group_map(with_bucket, ["bucket"], fold)
 
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)

@@ -789,3 +789,96 @@ class TestJpegCodec:
         want = np.round(image_features(
             decode_jpeg(payload).astype(np.float64), 8), 6)
         np.testing.assert_array_equal(np.asarray(out["feature"].iloc[0]), want)
+
+
+class TestHeavyHitters:
+    def _corpus(self, rng, n_docs=400):
+        # Zipf-ish corpus: a few stopwords dominate, long tail of rare terms
+        stop = ["the", "and", "data"]
+        texts = []
+        for i in range(n_docs):
+            words = list(rng.choice(stop, size=rng.integers(5, 15)))
+            words += [f"w{rng.integers(0, 5000)}" for _ in range(10)]
+            rng.shuffle(words)
+            texts.append(" ".join(words))
+        return texts
+
+    def test_exact_vs_duckdb_and_partition_invariance(self):
+        import duckdb
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import heavy_hitters
+
+        rng = np.random.default_rng(11)
+        texts = self._corpus(rng)
+        df = pd.DataFrame({"text": texts})
+
+        got = heavy_hitters(rd.from_pandas(df), k=50)
+        got2 = heavy_hitters(rd.from_pandas(df).repartition(13), k=50)
+        pd.testing.assert_frame_equal(got, got2)
+
+        con = duckdb.connect()
+        con.register("documents", df)
+        import __ray_entry__ as entry
+        want = con.execute(entry.oracle_sql()["heavy_hitters"]).df()
+        assert len(got) > 0  # stopwords must surface
+        pd.testing.assert_frame_equal(
+            got.astype({"cnt": "int64", "n_total": "int64"}),
+            want.astype({"cnt": "int64", "n_total": "int64"}),
+        )
+
+    def test_candidate_guard_fires(self):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import heavy_hitters
+
+        # every token locally heavy (tiny batches, k large) -> guard trips
+        df = pd.DataFrame({"text": [f"u{i} v{i}" for i in range(50)]})
+        with pytest.raises(ValueError, match="candidate union"):
+            heavy_hitters(rd.from_pandas(df).repartition(25), k=1000,
+                          max_candidates=10)
+
+
+class TestPackSequences:
+    def test_matches_window_oracle_any_partitioning(self):
+        import duckdb
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import pack_sequences
+
+        rng = np.random.default_rng(23)
+        n = 500
+        # non-contiguous, shuffled doc ids exercise the range bucketing
+        ids = rng.permutation(np.arange(0, 3 * n, 3, dtype=np.int64))
+        texts = [" ".join(["tok"] * int(rng.integers(1, 400)))
+                 for _ in range(n)]
+        df = pd.DataFrame({"doc_id": ids, "text": texts})
+
+        got = pack_sequences(
+            rd.from_pandas(df).repartition(9), cap=2048, num_buckets=16
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for c in got.columns:
+            got[c] = got[c].astype("int64")
+
+        con = duckdb.connect()
+        con.register("documents", df)
+        import __ray_entry__ as entry
+        want = con.execute(entry.oracle_sql()["sequence_packing"]).df()
+        for c in want.columns:
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_bins_are_contiguous_and_cap_bounded(self):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import pack_sequences
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(100, dtype=np.int64),
+            "text": ["a b c"] * 100,  # 3 tokens each
+        })
+        out = pack_sequences(rd.from_pandas(df), cap=30).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        assert out["start_offset"].tolist() == list(range(0, 300, 3))
+        assert (out["bin"] == out["start_offset"] // 30).all()
+        assert out["bin"].max() == 9
