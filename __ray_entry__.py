@@ -1057,15 +1057,17 @@ def q_embedding_neardup(sf_dir: str):
 
 def q_multimodal_features(sf_dir: str):
     """Binary media columns through the REAL codec path: deterministic
-    BMP / baseline-JPEG images and PCM WAV tracks are synthesized from
-    each doc's id+text, then decoded (pure-Python BMP/WAV parsers + the
-    pure-numpy JPEG codec, stages/jpeg.py) and feature-extracted by the
-    actor-pool stage with ``fake=False``."""
+    BMP / baseline-JPEG images, PCM WAV tracks and MJPEG-AVI clips are
+    synthesized from each doc's id+text, then decoded (pure-Python
+    BMP/WAV/RIFF-AVI parsers + the pure-numpy JPEG codec,
+    stages/jpeg.py) and feature-extracted by the actor-pool stage with
+    ``fake=False`` (videos: poster-frame features)."""
     import pyarrow as pa
 
     from matrixprofile_ray.stages.jpeg import encode_jpeg
     from matrixprofile_ray.stages.multimodal import (
         DecodeStage,
+        encode_avi_mjpeg,
         encode_bmp,
         encode_wav,
     )
@@ -1086,6 +1088,14 @@ def q_multimodal_features(sf_dir: str):
                 payloads.append(encode_jpeg(px, quality=85))
                 kinds.append("image")
                 mimes.append("image/jpeg")
+            elif i % 6 == 0:
+                frames = [
+                    rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+                    for _ in range(3)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, fps=4))
+                kinds.append("video")
+                mimes.append("video/x-msvideo")
             else:
                 n = 400 + (len(t) % 200)
                 wav = (
@@ -1116,6 +1126,50 @@ def q_multimodal_features(sf_dir: str):
         [float(np.linalg.norm(f)) for f in feats["feature"]], 4
     )
     return out
+
+
+def q_video_frame_sample(sf_dir: str):
+    """Video frame sampling with REAL per-frame decode: MJPEG-AVI clips
+    (3 frames @ 4 fps, synthesized per doc) → every-2nd-frame rows with
+    grid-mean features. Container parsing selects frames BEFORE pixel
+    work — the 100-TB shape for video corpora."""
+    import pyarrow as pa
+
+    from matrixprofile_ray.stages.multimodal import (
+        encode_avi_mjpeg,
+        sample_video_frames,
+    )
+
+    def attach_video(batch: pa.Table) -> pa.Table:
+        ids = [i for i in batch["doc_id"].to_pylist() if i % 6 == 0]
+        payloads = []
+        for i in ids:
+            rng = np.random.default_rng(i)
+            frames = [
+                rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+                for _ in range(3)
+            ]
+            payloads.append(encode_avi_mjpeg(frames, fps=4))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["video"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    rows = (
+        ds.map_batches(attach_video, batch_format="pyarrow")
+        .map_batches(sample_video_frames, batch_format="pandas",
+                     batch_size=32)
+        .to_pandas()
+    )
+    out = rows[["media_id", "frame_idx", "frame_ts_ms"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    out["feat_norm"] = np.round(
+        [float(np.linalg.norm(f)) for f in rows["feature"]], 4
+    )
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
 def q_flagship_pages_1d(sf_dir: str):
@@ -2759,6 +2813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "av_complexity_w24_1h": q_av_complexity_w24_1h,
         "gorilla_ratio_1h": q_gorilla_ratio_1h,
         "multimodal_features": q_multimodal_features,
+        "video_frame_sample": q_video_frame_sample,
         "flagship_pages_1d": q_flagship_pages_1d,
         "giant_mpx": q_giant_mpx,
         "streaming_stampi_w24": q_streaming_stampi_w24,

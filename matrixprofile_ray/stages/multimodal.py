@@ -8,11 +8,14 @@ layout — is real and tested. Codecs:
   checksum-seeded feature vector) so pipelines are testable end-to-end.
 - ``DecodeStage(fake=False)`` REALLY decodes the formats a pure-Python
   parser can own — uncompressed 24-bit BMP (``image/bmp``), 16-bit PCM
-  WAV (``audio/wav``) and, since round 4, baseline JPEG (``image/jpeg``,
-  see ``stages/jpeg.py`` — full pure-numpy DCT/Huffman codec) — and
-  extracts grid-mean / windowed-RMS features. Compressed audio/video
-  (mp3/h264) still raise ``NotImplementedError``, marking exactly where
-  an ffmpeg hook plugs in (none ships in this environment).
+  WAV (``audio/wav``), baseline JPEG (``image/jpeg``, see
+  ``stages/jpeg.py`` — full pure-numpy DCT/Huffman codec) and, since
+  round 4, MJPEG-in-AVI video (``video/x-msvideo``: RIFF walker +
+  per-frame JPEG; ``sample_video_frames`` selects frames BEFORE any
+  pixel work) — and extracts grid-mean / windowed-RMS features.
+  Compressed audio (mp3) and inter-frame video (h264) still raise
+  ``NotImplementedError``, marking exactly where an ffmpeg hook plugs
+  in (none ships in this environment).
 
 Large payloads ⇒ small ``batch_size`` (a 4 MB image × 256-row batch would
 blow a 1 GB heap); callers should pass ``batch_size≤32`` for real media.
@@ -29,6 +32,7 @@ import pyarrow as pa
 __all__ = [
     "MEDIA_SCHEMA", "attach_fake_media", "DecodeStage", "frame_sample",
     "encode_bmp", "decode_bmp", "encode_wav", "decode_wav",
+    "encode_avi_mjpeg", "parse_avi_mjpeg", "sample_video_frames",
 ]
 
 MEDIA_SCHEMA = pa.schema(
@@ -166,6 +170,124 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(data, dtype="<i2").copy(), int(rate)
 
 
+def encode_avi_mjpeg(frames, fps: int = 4, quality: int = 85) -> bytes:
+    """Encode (h, w, 3) uint8 RGB frames as an MJPEG-in-AVI video
+    (RIFF 'AVI ' container, one baseline-JPEG '00dc' chunk per frame via
+    the pure-numpy codec in ``stages/jpeg.py``, plus an idx1 index).
+
+    Public spec only: RIFF/AVI chunk layout per the Microsoft AVI RIFF
+    reference; MJPG fourcc, dwScale=1 so dwRate == fps exactly.
+    """
+    import struct
+
+    from matrixprofile_ray.stages.jpeg import encode_jpeg
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_b = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, max_b * fps, 0, 0x10, len(jpegs), 0, 1,
+        max_b, w, h,
+    ) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(jpegs), max_b,
+        0xFFFFFFFF, 0,
+    ) + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_body)
+    # idx1: (fourcc, flags=KEYFRAME, offset from 'movi' fourcc, size)
+    idx, off = b"", 4
+    for j in jpegs:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j))
+        off += 8 + len(j) + (len(j) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg(payload: bytes):
+    """Parse an MJPEG AVI payload → (fps, [jpeg_bytes per frame]).
+
+    Pure-Python RIFF walker: finds the strh video header for fps
+    (dwRate/dwScale) and the LIST movi '00dc'/'00db' chunks, returning
+    the raw per-frame JPEG payloads WITHOUT decoding them — frame
+    selection happens before any pixel work, which is the point at
+    scale (sampling 1 of every 30 frames should cost 1/30th)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    fps, frames = None, []
+
+    def walk(buf: bytes):
+        nonlocal fps
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid, size = struct.unpack_from("<4sI", buf, pos)
+            body = buf[pos + 8: pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])
+            elif cid == b"strh" and body[:4] == b"vids":
+                scale, rate = struct.unpack_from("<II", body, 20)
+                fps = rate // max(scale, 1)
+            elif cid in (b"00dc", b"00db") and size:
+                frames.append(bytes(body))
+            pos += 8 + size + (size & 1)
+
+    walk(payload[12:])
+    if fps is None or not frames:
+        raise ValueError("AVI missing video stream header or frames")
+    return int(fps), frames
+
+
+def sample_video_frames(batch: pd.DataFrame, every: int = 2,
+                        dim: int = 16) -> pd.DataFrame:
+    """Video rows → one row per SAMPLED frame with REAL decoded features
+    (flat_map shape): parse the AVI container, keep every ``every``-th
+    frame, JPEG-decode only those, grid-mean featurize.
+
+    Container parsing is byte-walking (cheap); pixel work happens only
+    on kept frames — at a 1-in-30 sample rate the stage does ~1/30th of
+    full-decode work, which is what makes frame sampling viable on a
+    100-TB video corpus. Non-video rows pass through with zero frames.
+    """
+    from matrixprofile_ray.stages.jpeg import decode_jpeg
+
+    ids, fidx, ts, feats = [], [], [], []
+    for mid, kind, payload in zip(
+        batch["media_id"], batch["kind"], batch["payload"]
+    ):
+        if kind != "video":
+            continue
+        fps, frames = parse_avi_mjpeg(payload)
+        for i in range(0, len(frames), every):
+            px = decode_jpeg(frames[i]).astype(np.float64)
+            ids.append(mid)
+            fidx.append(i)
+            ts.append(i * 1000 // fps)
+            feats.append(np.round(image_features(px, dim), 6))
+    return pd.DataFrame({
+        "media_id": np.asarray(ids, dtype=np.int64),
+        "frame_idx": np.asarray(fidx, dtype=np.int64),
+        "frame_ts_ms": np.asarray(ts, dtype=np.int64),
+        "feature": feats,
+    })
+
+
 def image_features(px: np.ndarray, dim: int) -> np.ndarray:
     """Grid-mean features: the image is cut into a g×g luminance grid
     (g² ≥ dim) and cell means (0..1) fill the vector."""
@@ -242,13 +364,24 @@ class DecodeStage:
                 if self.thumb is not None:
                     px = resize_nearest(px, *self.thumb)
                 return image_features(px, self.dim)
-            if payload[:4] == b"RIFF":
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 samples, _ = decode_wav(payload)
                 return audio_features(samples, self.dim)
+            if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                # MJPEG AVI: poster-frame features (frame 0 only; use
+                # sample_video_frames for the per-frame flat_map path)
+                from matrixprofile_ray.stages.jpeg import decode_jpeg
+
+                _, frames = parse_avi_mjpeg(payload)
+                px = decode_jpeg(frames[0]).astype(np.float64)
+                if self.thumb is not None:
+                    px = resize_nearest(px, *self.thumb)
+                return image_features(px, self.dim)
             raise NotImplementedError(
                 "compressed audio/video decode (mp3/h264/...) requires a "
                 "codec library; this environment ships none — plug "
-                "ffmpeg here (baseline JPEG is handled above in pure numpy)"
+                "ffmpeg here (baseline JPEG and MJPEG-AVI are handled "
+                "above in pure numpy)"
             )
         # deterministic fake: feature vector seeded by payload checksum
         seed = zlib.crc32(payload)

@@ -882,3 +882,78 @@ class TestPackSequences:
         assert out["start_offset"].tolist() == list(range(0, 300, 3))
         assert (out["bin"] == out["start_offset"] // 30).all()
         assert out["bin"].max() == 9
+
+
+class TestAviMjpeg:
+    def test_container_roundtrip_preserves_frame_payloads(self):
+        from matrixprofile_ray.stages.jpeg import encode_jpeg
+        from matrixprofile_ray.stages.multimodal import (
+            encode_avi_mjpeg,
+            parse_avi_mjpeg,
+        )
+
+        rng = np.random.default_rng(3)
+        frames = [rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+                  for _ in range(5)]
+        avi = encode_avi_mjpeg(frames, fps=8, quality=85)
+        fps, jpegs = parse_avi_mjpeg(avi)
+        assert fps == 8
+        # container is lossless around the per-frame JPEG payloads
+        assert jpegs == [encode_jpeg(f, quality=85) for f in frames]
+
+    def test_sample_video_frames_every_other(self):
+        from matrixprofile_ray.stages.jpeg import decode_jpeg
+        from matrixprofile_ray.stages.multimodal import (
+            encode_avi_mjpeg,
+            image_features,
+            parse_avi_mjpeg,
+            sample_video_frames,
+        )
+
+        rng = np.random.default_rng(5)
+        frames = [rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+                  for _ in range(5)]
+        avi = encode_avi_mjpeg(frames, fps=4)
+        batch = pd.DataFrame({
+            "media_id": [1, 2],
+            "kind": ["video", "audio"],
+            "payload": [avi, b"RIFF....WAVE"],
+        })
+        out = sample_video_frames(batch, every=2, dim=8)
+        assert out["media_id"].tolist() == [1, 1, 1]   # audio row skipped
+        assert out["frame_idx"].tolist() == [0, 2, 4]
+        assert out["frame_ts_ms"].tolist() == [0, 500, 1000]
+        _, jpegs = parse_avi_mjpeg(avi)
+        want = np.round(image_features(
+            decode_jpeg(jpegs[2]).astype(np.float64), 8), 6)
+        np.testing.assert_array_equal(np.asarray(out["feature"].iloc[1]), want)
+
+    def test_decode_stage_poster_frame(self):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.jpeg import decode_jpeg
+        from matrixprofile_ray.stages.multimodal import (
+            DecodeStage,
+            encode_avi_mjpeg,
+            image_features,
+            parse_avi_mjpeg,
+        )
+
+        rng = np.random.default_rng(7)
+        frames = [rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+                  for _ in range(2)]
+        avi = encode_avi_mjpeg(frames, fps=4)
+        media = pd.DataFrame({
+            "media_id": [9], "kind": ["video"], "payload": [avi],
+        })
+        out = (
+            rd.from_pandas(media)
+            .map_batches(DecodeStage,
+                         fn_constructor_kwargs={"dim": 8, "fake": False},
+                         batch_format="pandas", batch_size=4, concurrency=1)
+            .to_pandas()
+        )
+        _, jpegs = parse_avi_mjpeg(avi)
+        want = np.round(image_features(
+            decode_jpeg(jpegs[0]).astype(np.float64), 8), 6)
+        np.testing.assert_array_equal(np.asarray(out["feature"].iloc[0]), want)
