@@ -908,6 +908,19 @@ def q_sequence_packing(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_trigram_model_score(sf_dir: str):
+    """Corpus-conditioned trigram scoring (perplexity-filter shape):
+    train top-4096 char-trigram model over the corpus, broadcast it,
+    score every doc's OOV rate + evidence in exact int64."""
+    from matrixprofile_ray.stages.text import trigram_model_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = trigram_model_score(ds, top_v=4096).to_pandas()
+    for c in ("doc_id", "n_tri", "n_oov", "evidence"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_stratified_cap(sf_dir: str):
     """Per-language document cap (stratified downsample, 20 per lang).
 
@@ -2781,6 +2794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_quantiles": q_histogram_quantiles,
         "heavy_hitters": q_heavy_hitters,
         "sequence_packing": q_sequence_packing,
+        "trigram_model_score": q_trigram_model_score,
         "events_topk_per_type": q_events_topk_per_type,
         "events_lag_stats": q_events_lag_stats,
         "events_running_sum": q_events_running_sum,
@@ -3499,6 +3513,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, start_offset,
                    (start_offset // 2048)::BIGINT AS bin
             FROM o ORDER BY doc_id
+        """,
+        "trigram_model_score": r"""
+            WITH tri AS (
+                SELECT doc_id,
+                       unicode(substr(lower(text), i, 1))::BIGINT
+                           * 4398046511104
+                     + unicode(substr(lower(text), i + 1, 1))::BIGINT
+                           * 2097152
+                     + unicode(substr(lower(text), i + 2, 1))::BIGINT
+                           AS tri_id
+                FROM documents,
+                     LATERAL unnest(range(1, len(text) - 1)) AS t(i)
+            ), counts AS (
+                SELECT tri_id, COUNT(*)::BIGINT AS cnt
+                FROM tri GROUP BY tri_id
+            ), model AS (
+                SELECT tri_id, cnt FROM counts
+                QUALIFY row_number() OVER (
+                    ORDER BY cnt DESC, tri_id ASC) <= 4096
+            )
+            SELECT d.doc_id,
+                   COUNT(*)::BIGINT AS n_tri,
+                   (COUNT(*) FILTER (WHERE m.tri_id IS NULL))::BIGINT
+                       AS n_oov,
+                   COALESCE(SUM(m.cnt), 0)::BIGINT AS evidence
+            FROM tri d LEFT JOIN model m USING (tri_id)
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
         """,
         "stratified_cap": """
             SELECT lang, doc_id, source

@@ -22,6 +22,7 @@ __all__ = [
     "term_df_top",
     "heavy_hitters",
     "pack_sequences",
+    "trigram_model_score",
     "TOP_STOPWORDS",
 ]
 
@@ -326,6 +327,103 @@ def heavy_hitters(ds, k: int = 50, text_col: str = "text",
     return df.sort_values(
         ["cnt", "token"], ascending=[False, True]
     ).reset_index(drop=True)
+
+
+def _char_trigram_ids(batch: pa.Table, text_col: str) -> list:
+    """Per-doc char-trigram ids: lowercase, UTF-32 decode (one C call per
+    doc), sliding 3-window packed into int64 (codepoints < 2^21, so
+    c0<<42 | c1<<21 | c2 is exact and mirrors BIGINT arithmetic in SQL)."""
+    out = []
+    for t in pc.utf8_lower(batch[text_col]).to_pylist():
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        cp = cp.astype(np.int64)
+        if cp.size < 3:
+            out.append(np.empty(0, dtype=np.int64))
+        else:
+            out.append((cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:])
+    return out
+
+
+def trigram_model_score(ds, top_v: int = 4096, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """Corpus-conditioned quality scoring — the two-pass shape behind
+    CCNet/KenLM-style perplexity filtering, kept in exact integers:
+
+    1. TRAIN: count char trigrams over the whole corpus (in-batch
+       ``np.unique`` partials → vocabulary-bounded groupby) and keep the
+       top ``top_v`` by (count desc, tri_id asc) — a deterministic
+       reference model, broadcast once via ``ray.put``.
+    2. SCORE: every doc gets n_tri (trigram positions), n_oov (positions
+       whose trigram is OUTSIDE the model — the out-of-vocabulary rate a
+       perplexity filter thresholds on) and evidence (sum of model
+       counts over its positions).
+
+    All outputs are int64 counts, so the result is bit-reproducible and
+    matches a full SQL mirror (LATERAL trigram unnest + QUALIFY top-V +
+    left join) exactly. Two passes over the text are the deliberate
+    cost; the model itself is top_v-bounded regardless of corpus size.
+
+    Returns a Dataset (doc_id, n_tri, n_oov, evidence).
+    """
+    import pandas as pd
+    import ray
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        ids = _char_trigram_ids(batch, text_col)
+        allids = (np.concatenate(ids) if ids
+                  else np.empty(0, dtype=np.int64))
+        uniq, cnt = np.unique(allids, return_counts=True)
+        return pa.table({
+            "tri_id": pa.array(uniq, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    totals = (
+        ds.map_batches(train_partial, batch_format="pyarrow")
+        .groupby("tri_id")
+        .sum("cnt")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(
+            [c if c != "sum(cnt)" else "cnt" for c in tbl.column_names])
+
+    top = (
+        totals.map_batches(rename, batch_format="pyarrow")
+        .sort(["cnt", "tri_id"], descending=[True, False])
+        .limit(top_v)
+        .take_all()
+    )
+    model_tri = np.array(sorted(r["tri_id"] for r in top), dtype=np.int64)
+    order = np.argsort([r["tri_id"] for r in top], kind="mergesort")
+    model_cnt = np.array([r["cnt"] for r in top],
+                         dtype=np.int64)[order]
+    model_ref = ray.put((model_tri, model_cnt))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        tri, cnt = ray.get(model_ref)
+        ids = _char_trigram_ids(batch, text_col)
+        docs = np.asarray(batch[id_col])
+        n_tri = np.array([len(a) for a in ids], dtype=np.int64)
+        n_oov = np.zeros(len(ids), dtype=np.int64)
+        evid = np.zeros(len(ids), dtype=np.int64)
+        for i, a in enumerate(ids):
+            if not len(a):
+                continue
+            pos = np.searchsorted(tri, a)
+            pos_c = np.minimum(pos, len(tri) - 1) if len(tri) else pos
+            hit = (tri[pos_c] == a) if len(tri) else np.zeros(len(a), bool)
+            n_oov[i] = len(a) - int(hit.sum())
+            evid[i] = int(cnt[pos_c[hit]].sum()) if len(tri) else 0
+        keep = n_tri > 0            # mirror: docs shorter than 3 chars drop
+        return pd.DataFrame({
+            id_col: docs[keep],
+            "n_tri": n_tri[keep],
+            "n_oov": n_oov[keep],
+            "evidence": evid[keep],
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def pack_sequences(ds, cap: int = 2048, num_buckets: int = 1024):

@@ -1040,3 +1040,46 @@ class TestImaAdpcm:
         )
         want = np.round(audio_features(decode_wav(payload)[0], 8), 6)
         np.testing.assert_array_equal(np.asarray(out["feature"].iloc[0]), want)
+
+
+class TestTrigramModelScore:
+    def test_exact_vs_duckdb_and_partition_invariance(self):
+        import duckdb
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import trigram_model_score
+
+        rng = np.random.default_rng(41)
+        words = ["alpha", "beta", "gamma", "delta", "xq"]
+        letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        texts = [
+            " ".join(rng.choice(words, size=rng.integers(3, 30)))
+            + " " + "".join(rng.choice(letters, size=6))  # rare tail
+            for _ in range(300)
+        ]
+        texts += ["zz", ""]            # <3 chars: dropped on both sides
+        df = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+        })
+
+        def run(ds):
+            out = trigram_model_score(ds, top_v=50).to_pandas()
+            for c in out.columns:
+                out[c] = out[c].astype("int64")
+            return out.sort_values("doc_id").reset_index(drop=True)
+
+        got = run(rd.from_pandas(df))
+        got2 = run(rd.from_pandas(df).repartition(11))
+        pd.testing.assert_frame_equal(got, got2)
+        assert (got["n_oov"] > 0).any()   # top-50 model must miss some
+
+        con = duckdb.connect()
+        con.register("documents", df)
+        import __ray_entry__ as entry
+        sql = entry.oracle_sql()["trigram_model_score"].replace(
+            "<= 4096", "<= 50")
+        want = con.execute(sql).df()
+        for c in want.columns:
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
