@@ -461,8 +461,11 @@ def pack_sequences(ds, cap: int = 2048, num_buckets: int = 1024):
     counts = ds.map_batches(token_count, batch_format="pyarrow")
     counts = counts.materialize()
 
-    lo = int(counts.min("doc_id"))
-    hi = int(counts.max("doc_id"))
+    from ray.data.aggregate import Max, Min
+
+    bounds = counts.aggregate(Min("doc_id"), Max("doc_id"))  # one pass
+    lo = int(bounds["min(doc_id)"])
+    hi = int(bounds["max(doc_id)"])
     span = max(hi - lo + 1, 1)
     nb = min(num_buckets, span)
     width = -(-span // nb)  # ceil; (d-lo)//width < nb, no int64 overflow
