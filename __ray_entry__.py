@@ -2730,6 +2730,42 @@ def q_docs_sample_hash(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality stats per document (Rae et al.
+    2021 table A1 shape): duplicate-word, duplicate-bigram and
+    top-bigram fractions from exact integer counts. Zero-shuffle
+    map_batches; fractions are single divisions of exact ints so the
+    oracle hash is bit-deterministic."""
+    from matrixprofile_ray.stages.relational import _round6_away
+    from matrixprofile_ray.stages.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = ds.map_batches(repetition_stats, batch_format="pyarrow").to_pandas()
+    for c in ("dup_word_frac", "dup_bigram_frac", "top_bigram_frac"):
+        df[c] = _round6_away(df[c].to_numpy())
+    for c in ("doc_id", "n_words", "n_distinct_words", "n_bigrams",
+              "n_distinct_bigrams", "top_bigram_n"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dup_ngram_corpus(sf_dir: str):
+    """Corpus-wide duplicate 5-gram fraction per doc — the n-gram-granular
+    exact-substring-dedup statistic (Lee et al. 2022). One slim
+    (gram, doc_id) hash-partition exchange + doc-bounded rollup."""
+    from matrixprofile_ray.stages.relational import _round6_away
+    from matrixprofile_ray.stages.text import dup_ngram_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = dup_ngram_corpus(ds, n=5).to_pandas()
+    df["dup_frac"] = _round6_away(
+        df["n_dup"].to_numpy().astype(np.float64)
+        / df["n_grams"].to_numpy().astype(np.float64))
+    for c in ("doc_id", "n_grams", "n_dup"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Ordered: oracle-backed queries first (every entry below the
@@ -2806,6 +2842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": q_props_extract,
         "docs_sample_hash": q_docs_sample_hash,
         "segment_lineitem_revenue": q_segment_lineitem_revenue,
+        "repetition_stats": q_repetition_stats,
+        "dup_ngram_corpus": q_dup_ngram_corpus,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4048,6 +4086,81 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        # Gopher repetition stats: same trim+\s+ tokenization as the
+        # engine (_split_words_flat); the three fractions are single
+        # divisions of exact BIGINT counts, so ROUND(...,6) here equals
+        # _round6_away on the engine side bit-for-bit.
+        "repetition_stats": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS words
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, words,
+                       [words[i] || ' ' || words[i+1]
+                        FOR i IN generate_series(1, len(words) - 1)]
+                           AS bigrams
+                FROM w
+            ), topb AS (
+                SELECT doc_id, MAX(c)::BIGINT AS top_bigram_n FROM (
+                    SELECT doc_id, COUNT(*) AS c
+                    FROM (SELECT doc_id, unnest(bigrams) AS b FROM bg)
+                    GROUP BY doc_id, b
+                ) GROUP BY doc_id
+            )
+            SELECT bg.doc_id,
+                   len(words)::BIGINT AS n_words,
+                   len(list_distinct(words))::BIGINT AS n_distinct_words,
+                   len(bigrams)::BIGINT AS n_bigrams,
+                   len(list_distinct(bigrams))::BIGINT
+                       AS n_distinct_bigrams,
+                   COALESCE(topb.top_bigram_n, 0)::BIGINT AS top_bigram_n,
+                   ROUND(CASE WHEN len(words) > 0 THEN
+                         (len(words) - len(list_distinct(words)))::DOUBLE
+                         / len(words)::DOUBLE ELSE 0.0 END, 6)
+                       AS dup_word_frac,
+                   ROUND(CASE WHEN len(bigrams) > 0 THEN
+                         (len(bigrams)
+                          - len(list_distinct(bigrams)))::DOUBLE
+                         / len(bigrams)::DOUBLE ELSE 0.0 END, 6)
+                       AS dup_bigram_frac,
+                   ROUND(CASE WHEN len(bigrams) > 0 THEN
+                         COALESCE(topb.top_bigram_n, 0)::DOUBLE
+                         / len(bigrams)::DOUBLE ELSE 0.0 END, 6)
+                       AS top_bigram_frac
+            FROM bg LEFT JOIN topb USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # Duplicate word-5-gram fraction vs the whole corpus; a gram is
+        # duplicated when >= 2 distinct docs contain it. Docs with < 5
+        # words have no 5-grams and are absent on both sides.
+        "dup_ngram_corpus": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                     || ' ' || words[i+3] || ' ' || words[i+4]
+                     FOR i IN generate_series(1, len(words) - 4)]
+                )) AS gram
+                FROM w
+            ), nd AS (
+                SELECT gram, COUNT(DISTINCT doc_id) AS ndocs
+                FROM g GROUP BY 1
+            ), per_doc AS (
+                SELECT g.doc_id,
+                       COUNT(*)::BIGINT AS n_grams,
+                       SUM(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0
+                           END)::BIGINT AS n_dup
+                FROM g JOIN nd USING (gram)
+                GROUP BY 1
+            )
+            SELECT doc_id, n_grams, n_dup,
+                   ROUND(n_dup::DOUBLE / n_grams::DOUBLE, 6) AS dup_frac
+            FROM per_doc ORDER BY doc_id
         """,
         # Brute-force z-normalized Euclidean matrix profile, w=4, self-join
         # ez = ceil(w/4) = 1. Every float64 expression is parenthesized in

@@ -23,6 +23,8 @@ __all__ = [
     "heavy_hitters",
     "pack_sequences",
     "trigram_model_score",
+    "repetition_stats",
+    "dup_ngram_corpus",
     "TOP_STOPWORDS",
 ]
 
@@ -550,3 +552,192 @@ def fingerprint(batch: pa.Table, shingle: int = 8) -> pa.Table:
         "doc_id": batch["doc_id"],
         "fp": pa.array(fps.view(np.int64), pa.int64()),
     })
+
+
+def _split_words_flat(batch: pa.Table, text_col: str = "text"):
+    """Whitespace-tokenize a batch into (flat_tokens, doc_idx, lens).
+
+    Same tokenization as :func:`term_df_top` minus the lowercasing:
+    ``trim`` then split on ``\\s+`` — mirrored verbatim by the SQL
+    oracles as ``string_split_regex(trim(text), '\\s+')``. Empty tokens
+    are NOT filtered (an all-whitespace doc yields one empty token on
+    both sides), keeping engine and oracle positional semantics equal.
+    """
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch[text_col]), r"\s+"
+    )
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(pc.list_flatten(toks))
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return flat, doc_idx, lens
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style within-document repetition stats, one row per doc.
+
+    The repetition family of quality filters (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1) flags boilerplate-heavy web
+    pages by the fraction of repeated words / word n-grams. Emitted
+    columns (all exact-integer counts plus three single-division
+    fractions, so the result is bit-reproducible under any batch split):
+
+    - ``n_words`` / ``n_distinct_words`` and
+      ``dup_word_frac = (n_words - n_distinct_words) / n_words``
+    - ``n_bigrams`` / ``n_distinct_bigrams`` and
+      ``dup_bigram_frac = (n_bigrams - n_distinct_bigrams) / n_bigrams``
+    - ``top_bigram_n`` (count of the most frequent bigram) and
+      ``top_bigram_frac = top_bigram_n / n_bigrams``
+
+    Stateless and per-document, so it composes as a plain ``map_batches``
+    with zero shuffle — the cheapest possible quality-filter shape at
+    100 TB. Fully vectorized: one ``pd.factorize`` over the flat token
+    array, then lexsort + first-occurrence masks + ``bincount`` /
+    ``maximum.at`` for the per-doc distinct and mode counts (no Python
+    loop over rows).
+    """
+    import pandas as pd
+
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_words": pa.array([], pa.int64()),
+            "n_distinct_words": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "n_distinct_bigrams": pa.array([], pa.int64()),
+            "top_bigram_n": pa.array([], pa.int64()),
+            "dup_word_frac": pa.array([], pa.float64()),
+            "dup_bigram_frac": pa.array([], pa.float64()),
+            "top_bigram_frac": pa.array([], pa.float64()),
+        })
+    flat, doc_idx, lens = _split_words_flat(batch, text_col)
+    codes, _ = pd.factorize(flat)
+    codes = codes.astype(np.int64)
+
+    # distinct words per doc: sort (doc, code), count first occurrences
+    order = np.lexsort((codes, doc_idx))
+    sc, sd = codes[order], doc_idx[order]
+    first = np.ones(len(sc), dtype=bool)
+    first[1:] = (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])
+    n_distinct_words = np.bincount(sd[first], minlength=n).astype(np.int64)
+
+    # bigrams: adjacent token pairs within the same doc, encoded as one
+    # int64 key (codes are < len(flat), so code*V + code never wraps)
+    same = doc_idx[1:] == doc_idx[:-1]
+    v = np.int64(len(flat) + 1)
+    bg = codes[:-1][same] * v + codes[1:][same]
+    bdoc = doc_idx[:-1][same]
+    n_bigrams = np.maximum(lens - 1, 0)
+    border = np.lexsort((bg, bdoc))
+    bgs, bds = bg[border], bdoc[border]
+    bfirst = np.ones(len(bgs), dtype=bool)
+    if len(bgs):
+        bfirst[1:] = (bgs[1:] != bgs[:-1]) | (bds[1:] != bds[:-1])
+    n_distinct_bigrams = np.bincount(
+        bds[bfirst], minlength=n).astype(np.int64) if len(bgs) else (
+        np.zeros(n, dtype=np.int64))
+
+    top = np.zeros(n, dtype=np.int64)
+    if len(bgs):
+        bounds = np.flatnonzero(bfirst)
+        run_len = np.diff(np.append(bounds, len(bgs)))
+        np.maximum.at(top, bds[bfirst], run_len)
+
+    # single-division fractions of exact ints — IEEE correctly rounded,
+    # so they match the SQL (a - b)::DOUBLE / a::DOUBLE bit-for-bit
+    nw = lens.astype(np.float64)
+    nb = n_bigrams.astype(np.float64)
+    dup_word_frac = np.where(
+        lens > 0,
+        (lens - n_distinct_words).astype(np.float64) / np.where(nw > 0, nw, 1.0),
+        0.0)
+    dup_bigram_frac = np.where(
+        n_bigrams > 0,
+        (n_bigrams - n_distinct_bigrams).astype(np.float64)
+        / np.where(nb > 0, nb, 1.0),
+        0.0)
+    top_bigram_frac = np.where(
+        n_bigrams > 0,
+        top.astype(np.float64) / np.where(nb > 0, nb, 1.0),
+        0.0)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(lens),
+        "n_distinct_words": pa.array(n_distinct_words),
+        "n_bigrams": pa.array(n_bigrams),
+        "n_distinct_bigrams": pa.array(n_distinct_bigrams),
+        "top_bigram_n": pa.array(top),
+        "dup_word_frac": pa.array(dup_word_frac, pa.float64()),
+        "dup_bigram_frac": pa.array(dup_bigram_frac, pa.float64()),
+        "top_bigram_frac": pa.array(top_bigram_frac, pa.float64()),
+    })
+
+
+def dup_ngram_corpus(ds, n: int = 5, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Corpus-wide duplicate word-n-gram fraction per document.
+
+    The n-gram-granular form of exact-substring deduplication (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a document's 5-gram is *duplicated* when at least one
+    OTHER document contains the same 5-gram. Returns one row per doc
+    (only docs with >= n words): ``doc_id, n_grams`` (distinct n-grams
+    in the doc), ``n_dup`` (those shared with another doc).
+
+    Scale shape: the ONE wide exchange is the hash-partition of the
+    distinct (gram, doc_id) pairs by gram — the same slim shuffle
+    topology as MinHash banding (stages/dedup.py). Each gram partition
+    counts distinct docs per gram vectorized and pre-aggregates its
+    per-doc partials (two ints per doc per partition), so the second
+    exchange is doc-cardinality-bounded, not token-bounded. No stage
+    ever materializes the corpus.
+    """
+    import pandas as pd
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    def distinct_grams(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, lens = _split_words_flat(batch, text_col)
+        ids = np.asarray(batch[id_col]).astype(np.int64)
+        m = len(flat)
+        if m < n:
+            return pa.table({
+                "gram": pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+            })
+        # start positions whose whole n-window stays inside one doc
+        starts = np.flatnonzero(doc_idx[: m - n + 1] == doc_idx[n - 1:])
+        gram = flat[starts].astype(object)
+        for k in range(1, n):
+            gram = gram + " "
+            gram = gram + flat[starts + k]
+        pairs = pd.DataFrame({
+            "gram": gram,
+            id_col: ids[doc_idx[starts]],
+        }).drop_duplicates()
+        return pa.table({
+            "gram": pa.array(pairs["gram"], pa.string()),
+            id_col: pa.array(pairs[id_col].to_numpy(dtype=np.int64)),
+        })
+
+    pairs = ds.map_batches(distinct_grams, batch_format="pyarrow")
+
+    def per_gram_fold(part: pd.DataFrame) -> pd.DataFrame:
+        # pairs are distinct per doc already (a doc lives in one batch);
+        # defensive dedup is a no-op then, and keeps the fold correct if
+        # a caller ever feeds non-distinct pairs
+        part = part.drop_duplicates(["gram", id_col])
+        ndocs = part.groupby("gram", sort=False)[id_col].transform("nunique")
+        part = part.assign(dup=(ndocs >= 2).astype(np.int64))
+        return part.groupby(id_col, as_index=False).agg(
+            n_grams=("gram", "count"), n_dup=("dup", "sum"))
+
+    partials = partitioned_group_map(pairs, ["gram"], per_gram_fold)
+
+    def per_doc_fold(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(id_col, as_index=False).agg(
+            n_grams=("n_grams", "sum"), n_dup=("n_dup", "sum"))
+
+    return partitioned_group_map(partials, [id_col], per_doc_fold)

@@ -1083,3 +1083,100 @@ class TestTrigramModelScore:
         for c in want.columns:
             want[c] = want[c].astype("int64")
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestRepetitionStats:
+    """Gopher-style repetition filters (stages/text.py repetition_stats)."""
+
+    def test_handmade_counts(self):
+        from matrixprofile_ray.stages.text import repetition_stats
+
+        out = repetition_stats(_docs([
+            "x x x",          # 3 words 1 distinct; bigrams: "x x","x x"
+            "a b a b",        # 4/2; bigrams "a b","b a","a b" -> 3/2 top 2
+            "one",            # 1 word, no bigrams
+        ])).to_pandas()
+        assert out["n_words"].tolist() == [3, 4, 1]
+        assert out["n_distinct_words"].tolist() == [1, 2, 1]
+        assert out["n_bigrams"].tolist() == [2, 3, 0]
+        assert out["n_distinct_bigrams"].tolist() == [1, 2, 0]
+        assert out["top_bigram_n"].tolist() == [2, 2, 0]
+        assert out["dup_word_frac"].tolist() == [2 / 3, 0.5, 0.0]
+        assert out["dup_bigram_frac"].tolist() == [0.5, 1 / 3, 0.0]
+        assert out["top_bigram_frac"].tolist() == [1.0, 2 / 3, 0.0]
+
+    def test_bigrams_do_not_cross_docs(self):
+        from matrixprofile_ray.stages.text import repetition_stats
+
+        # if bigrams leaked across doc boundaries, "b a" would repeat
+        out = repetition_stats(_docs(["a b", "a b"])).to_pandas()
+        assert out["n_bigrams"].tolist() == [1, 1]
+        assert out["top_bigram_n"].tolist() == [1, 1]
+
+    def test_batch_split_invariance(self):
+        from matrixprofile_ray.stages.text import repetition_stats
+
+        texts = ["a b c a b", "z z z z", "p q r", "a a b b c c"]
+        whole = repetition_stats(_docs(texts)).to_pandas()
+        parts = pd.concat([
+            repetition_stats(_docs(texts[:2])).to_pandas(),
+            repetition_stats(_docs(texts[2:])).to_pandas().assign(
+                doc_id=lambda d: d["doc_id"] + 2),
+        ]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(whole, parts)
+
+
+class TestDupNgramCorpus:
+    def test_shared_five_gram_flags_both_docs(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import dup_ngram_corpus
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "alpha beta gamma delta epsilon zeta",  # shares w/ doc 1
+                "alpha beta gamma delta epsilon",        # = 1 gram, dup
+                "one two three four five six seven",     # unique grams
+                "short doc",                             # < 5 words: absent
+            ],
+        })
+        out = dup_ngram_corpus(
+            rd.from_pandas(df).repartition(3), n=5
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [0, 1, 2]
+        assert out["n_grams"].tolist() == [2, 1, 3]
+        # doc0's first gram == doc1's only gram; doc0's second is unique
+        assert out["n_dup"].tolist() == [1, 1, 0]
+
+    def test_matches_duckdb_oracle_on_synthetic(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        import __ray_entry__ as entry
+        from matrixprofile_ray.stages.relational import _round6_away
+        from matrixprofile_ray.stages.text import dup_ngram_corpus
+
+        rng = np.random.default_rng(5)
+        vocab = np.array(["w%d" % i for i in range(12)])
+        texts = [" ".join(rng.choice(vocab, rng.integers(3, 15)))
+                 for _ in range(80)]
+        df = pd.DataFrame({
+            "doc_id": np.arange(80, dtype=np.int64), "text": texts})
+        got = dup_ngram_corpus(
+            rd.from_pandas(df).repartition(5), n=5
+        ).to_pandas()
+        got["dup_frac"] = _round6_away(
+            got["n_dup"].to_numpy().astype(np.float64)
+            / got["n_grams"].to_numpy().astype(np.float64))
+        for c in ("doc_id", "n_grams", "n_dup"):
+            got[c] = got[c].astype("int64")
+        got = got.sort_values("doc_id").reset_index(drop=True)
+
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = con.execute(entry.oracle_sql()["dup_ngram_corpus"]).df()
+        for c in ("doc_id", "n_grams", "n_dup"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want)
