@@ -2766,6 +2766,20 @@ def q_dup_ngram_corpus(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_decontaminate(sf_dir: str):
+    """GPT-3-appendix-C-style benchmark decontamination: per-doc count of
+    word-5-grams shared with a broadcast benchmark set (deterministically
+    carved as doc_id % 97 == 0). Zero corpus-side shuffle; all-integer
+    output so the oracle is exact by construction."""
+    from matrixprofile_ray.stages.text import decontaminate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = decontaminate(ds, n=5, bench_mod=97).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Ordered: oracle-backed queries first (every entry below the
@@ -2844,6 +2858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_lineitem_revenue": q_segment_lineitem_revenue,
         "repetition_stats": q_repetition_stats,
         "dup_ngram_corpus": q_dup_ngram_corpus,
+        "decontaminate": q_decontaminate,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4161,6 +4176,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_grams, n_dup,
                    ROUND(n_dup::DOUBLE / n_grams::DOUBLE, 6) AS dup_frac
             FROM per_doc ORDER BY doc_id
+        """,
+        # Decontamination: benchmark = distinct 5-grams of docs with
+        # doc_id % 97 == 0; a doc is contaminated when any of its
+        # distinct 5-grams appears in the benchmark set. All-integer.
+        "decontaminate": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                     || ' ' || words[i+3] || ' ' || words[i+4]
+                     FOR i IN generate_series(1, len(words) - 4)]
+                )) AS gram
+                FROM w
+            ), bench AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            ), scored AS (
+                SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+                       SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0
+                           END)::BIGINT AS n_hit
+                FROM g LEFT JOIN bench b ON g.gram = b.gram
+                GROUP BY 1
+            )
+            SELECT doc_id, n_grams, n_hit,
+                   (CASE WHEN n_hit > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS contaminated
+            FROM scored ORDER BY doc_id
         """,
         # Brute-force z-normalized Euclidean matrix profile, w=4, self-join
         # ez = ceil(w/4) = 1. Every float64 expression is parenthesized in

@@ -25,6 +25,7 @@ __all__ = [
     "trigram_model_score",
     "repetition_stats",
     "dup_ngram_corpus",
+    "decontaminate",
     "TOP_STOPWORDS",
 ]
 
@@ -741,3 +742,70 @@ def dup_ngram_corpus(ds, n: int = 5, id_col: str = "doc_id",
             n_grams=("n_grams", "sum"), n_dup=("n_dup", "sum"))
 
     return partitioned_group_map(partials, [id_col], per_doc_fold)
+
+
+def decontaminate(ds, n: int = 5, bench_mod: int = 97,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Benchmark decontamination by word-n-gram overlap (GPT-3 appendix C
+    / The Pile shape): flag training docs sharing any n-gram with a
+    held-out benchmark set. The benchmark here is carved deterministically
+    from the corpus itself (docs with ``doc_id % bench_mod == 0``) so the
+    operator is hermetic and its oracle exact; swap ``_bench_grams`` for a
+    real eval-set reader in production.
+
+    Scale shape: the benchmark side is SMALL by construction (eval suites
+    are a few MB against a 100-TB corpus), so its distinct n-grams are
+    collected once and broadcast with ``ray.put`` — scoring is then a
+    zero-shuffle ``map_batches`` doing one sorted ``np.isin`` membership
+    test per batch. No corpus-side shuffle at all; if the benchmark side
+    ever grew corpus-sized, use the :func:`dup_ngram_corpus` gram-hash
+    partition topology instead. All outputs are exact integers.
+    """
+    import pandas as pd
+    import ray
+
+    def _grams_of(batch: pa.Table, only_bench: bool):
+        flat, doc_idx, lens = _split_words_flat(batch, text_col)
+        ids = np.asarray(batch[id_col]).astype(np.int64)
+        m = len(flat)
+        if m < n:
+            return np.array([], dtype=object), np.array([], dtype=np.int64)
+        starts = np.flatnonzero(doc_idx[: m - n + 1] == doc_idx[n - 1:])
+        if only_bench:
+            starts = starts[ids[doc_idx[starts]] % bench_mod == 0]
+            if not len(starts):
+                return (np.array([], dtype=object),
+                        np.array([], dtype=np.int64))
+        gram = flat[starts].astype(object)
+        for k in range(1, n):
+            gram = gram + " "
+            gram = gram + flat[starts + k]
+        return gram, ids[doc_idx[starts]]
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        gram, _ = _grams_of(batch, only_bench=True)
+        return pa.table({"gram": pa.array(
+            pd.unique(gram), pa.string())})
+
+    # small side: distinct benchmark grams, collected once and broadcast
+    bench = ds.map_batches(bench_partial, batch_format="pyarrow").to_pandas()
+    bench_sorted = np.sort(bench["gram"].to_numpy(dtype=object))
+    handle = ray.put(bench_sorted)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bg = ray.get(handle)
+        gram, gids = _grams_of(batch, only_bench=False)
+        pairs = pd.DataFrame({"gram": gram, "doc": gids}).drop_duplicates()
+        hit = np.isin(pairs["gram"].to_numpy(dtype=object), bg)
+        agg = pairs.assign(hit=hit.astype(np.int64)).groupby(
+            "doc", as_index=False).agg(
+            n_grams=("gram", "count"), n_hit=("hit", "sum"))
+        return pa.table({
+            id_col: pa.array(agg["doc"].to_numpy(dtype=np.int64)),
+            "n_grams": pa.array(agg["n_grams"].to_numpy(dtype=np.int64)),
+            "n_hit": pa.array(agg["n_hit"].to_numpy(dtype=np.int64)),
+            "contaminated": pa.array(
+                (agg["n_hit"].to_numpy() > 0).astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1180,3 +1180,29 @@ class TestDupNgramCorpus:
             want[c] = want[c].astype("int64")
         pd.testing.assert_frame_equal(
             got[want.columns.tolist()], want)
+
+
+class TestDecontaminate:
+    def test_benchmark_overlap_flags(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import decontaminate
+
+        df = pd.DataFrame({
+            # doc 0 and 97 are the benchmark (id % 97 == 0)
+            "doc_id": np.array([0, 97, 5, 6], dtype=np.int64),
+            "text": [
+                "alpha beta gamma delta epsilon",
+                "one two three four five",
+                "alpha beta gamma delta epsilon zeta",  # hits doc0's gram
+                "p q r s t u",                          # clean
+            ],
+        })
+        out = decontaminate(
+            rd.from_pandas(df).repartition(2), n=5, bench_mod=97
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        got = dict(zip(out["doc_id"], out["contaminated"]))
+        # benchmark docs trivially match themselves; doc5 shares a gram
+        assert got == {0: 1, 97: 1, 5: 1, 6: 0}
+        n_hit = dict(zip(out["doc_id"], out["n_hit"]))
+        assert n_hit[5] == 1 and n_hit[6] == 0
