@@ -2766,6 +2766,38 @@ def q_dup_ngram_corpus(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_clean_corpus(sf_dir: str):
+    """C4/Gopher-style cleaning filter: keep docs passing length and
+    repetition rules (15 <= n_words <= 1000, dup_bigram_frac <= 0.05,
+    top_bigram_frac <= 0.15; keeps ~74% of the synthetic corpus at
+    sf0.1). Thresholds compare the UNROUNDED fractions —
+    bit-identical doubles on both sides — then output rounds for the
+    hash. Zero-shuffle: repetition_stats + an Arrow filter."""
+    import pyarrow as pa
+
+    from matrixprofile_ray.stages.relational import _round6_away
+    from matrixprofile_ray.stages.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+    def filt(batch: pa.Table) -> pa.Table:
+        nw = batch["n_words"].to_numpy()
+        dbf = batch["dup_bigram_frac"].to_numpy()
+        tbf = batch["top_bigram_frac"].to_numpy()
+        keep = (nw >= 15) & (nw <= 1000) & (dbf <= 0.05) & (tbf <= 0.15)
+        return batch.select(
+            ["doc_id", "n_words", "dup_bigram_frac", "top_bigram_frac"]
+        ).filter(pa.array(keep))
+
+    df = stats.map_batches(filt, batch_format="pyarrow").to_pandas()
+    for c in ("dup_bigram_frac", "top_bigram_frac"):
+        df[c] = _round6_away(df[c].to_numpy())
+    for c in ("doc_id", "n_words"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_decontaminate(sf_dir: str):
     """GPT-3-appendix-C-style benchmark decontamination: per-doc count of
     word-5-grams shared with a broadcast benchmark set (deterministically
@@ -2859,6 +2891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "dup_ngram_corpus": q_dup_ngram_corpus,
         "decontaminate": q_decontaminate,
+        "clean_corpus": q_clean_corpus,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4205,6 +4238,48 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN n_hit > 0 THEN 1 ELSE 0 END)::BIGINT
                        AS contaminated
             FROM scored ORDER BY doc_id
+        """,
+        # Cleaning filter over the repetition stats; the WHERE compares
+        # the unrounded double expressions (identical bits to the numpy
+        # side), output rounds to 6 for the hash.
+        "clean_corpus": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS words
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, words,
+                       [words[i] || ' ' || words[i+1]
+                        FOR i IN generate_series(1, len(words) - 1)]
+                           AS bigrams
+                FROM w
+            ), topb AS (
+                SELECT doc_id, MAX(c)::BIGINT AS top_bigram_n FROM (
+                    SELECT doc_id, COUNT(*) AS c
+                    FROM (SELECT doc_id, unnest(bigrams) AS b FROM bg)
+                    GROUP BY doc_id, b
+                ) GROUP BY doc_id
+            ), stats AS (
+                SELECT bg.doc_id,
+                       len(words)::BIGINT AS n_words,
+                       CASE WHEN len(bigrams) > 0 THEN
+                            (len(bigrams)
+                             - len(list_distinct(bigrams)))::DOUBLE
+                            / len(bigrams)::DOUBLE ELSE 0.0 END
+                           AS dup_bigram_frac,
+                       CASE WHEN len(bigrams) > 0 THEN
+                            COALESCE(topb.top_bigram_n, 0)::DOUBLE
+                            / len(bigrams)::DOUBLE ELSE 0.0 END
+                           AS top_bigram_frac
+                FROM bg LEFT JOIN topb USING (doc_id)
+            )
+            SELECT doc_id, n_words,
+                   ROUND(dup_bigram_frac, 6) AS dup_bigram_frac,
+                   ROUND(top_bigram_frac, 6) AS top_bigram_frac
+            FROM stats
+            WHERE n_words >= 15 AND n_words <= 1000
+              AND dup_bigram_frac <= 0.05 AND top_bigram_frac <= 0.15
+            ORDER BY doc_id
         """,
         # Brute-force z-normalized Euclidean matrix profile, w=4, self-join
         # ez = ceil(w/4) = 1. Every float64 expression is parenthesized in
