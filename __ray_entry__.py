@@ -2812,6 +2812,81 @@ def q_decontaminate(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_top_bigrams(sf_dir: str):
+    """Global top-20 word bigrams by exact count (collocation /
+    boilerplate-phrase mining). Partial-combine in-batch, one
+    vocabulary-bounded exchange; ties break by bigram ascending."""
+    from matrixprofile_ray.stages.text import bigram_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = bigram_topk(ds, k=20).to_pandas()
+    df["cnt"] = df["cnt"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+def q_chunk_docs(sf_dir: str):
+    """Fixed-128-codepoint training-sequence chunking: one row per
+    chunk with its length and 8-char head (real Arrow slicing, zero
+    shuffle). All-integer + deterministic substrings."""
+    from matrixprofile_ray.stages.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = chunk_documents(ds, size=128, head=8).to_pandas()
+    for c in ("doc_id", "chunk_id", "chunk_len"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def q_source_stats(sf_dir: str):
+    """Crawl-manifest rollup per (source, lang): docs, words, chars,
+    longest doc. In-batch combiner + one key-bounded exchange."""
+    from matrixprofile_ray.stages.text import source_stats
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "source", "lang"])
+    df = source_stats(ds).to_pandas()
+    for c in ("n_docs", "sum_words", "sum_chars", "max_chars"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+def q_vocab_per_lang(sf_dir: str):
+    """Type/token vocabulary inventory per language: total tokens and
+    distinct tokens. One token-hash exchange; distinct counted where
+    each token's occurrences are co-located."""
+    from matrixprofile_ray.stages.text import vocab_stats
+
+    return vocab_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]))
+
+
+def q_rare_term_score(sf_dir: str):
+    """Document-frequency-weighted doc scores (integer tf-idf core):
+    per doc the sum and min of corpus df over its tokens. Two-pass
+    broadcast topology — df table computed once, ray.put once,
+    zero-shuffle scoring."""
+    from matrixprofile_ray.stages.text import rare_term_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = rare_term_score(ds).to_pandas()
+    for c in ("doc_id", "n_words", "sum_df", "min_df"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ngram_novelty(sf_dir: str):
+    """First-occurrence 5-gram novelty per doc: grams whose corpus-min
+    doc_id is this doc. Slim (gram, doc) exchange with partition-local
+    min attribution; all-integer."""
+    from matrixprofile_ray.stages.text import ngram_novelty
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = ngram_novelty(ds, n=5).to_pandas()
+    for c in ("doc_id", "n_grams", "n_novel"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Ordered: oracle-backed queries first (every entry below the
@@ -2892,6 +2967,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_corpus": q_dup_ngram_corpus,
         "decontaminate": q_decontaminate,
         "clean_corpus": q_clean_corpus,
+        "top_bigrams": q_top_bigrams,
+        "chunk_docs": q_chunk_docs,
+        "source_stats": q_source_stats,
+        "vocab_per_lang": q_vocab_per_lang,
+        "rare_term_score": q_rare_term_score,
+        "ngram_novelty": q_ngram_novelty,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4280,6 +4361,100 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_words >= 15 AND n_words <= 1000
               AND dup_bigram_frac <= 0.05 AND top_bigram_frac <= 0.15
             ORDER BY doc_id
+        """,
+        # Global top-20 bigrams; all-integer counts, ties by bigram
+        # ascending (binary collation — ASCII corpus).
+        "top_bigrams": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS words
+                FROM documents
+            ), bg AS (
+                SELECT unnest(
+                    [words[i] || ' ' || words[i+1]
+                     FOR i IN generate_series(1, len(words) - 1)]) AS bigram
+                FROM w
+            )
+            SELECT bigram, COUNT(*)::BIGINT AS cnt
+            FROM bg GROUP BY 1
+            ORDER BY cnt DESC, bigram LIMIT 20
+        """,
+        # Fixed-128-codepoint chunk rows; substr clamps at string end on
+        # both sides, generate_series(0,-1) drops zero-length docs like
+        # the engine's empty chunk loop.
+        "chunk_docs": """
+            WITH c AS (
+                SELECT doc_id, length(text) AS n, text,
+                       unnest(generate_series(
+                           0, CAST(ceil(length(text) / 128.0) AS BIGINT) - 1
+                       )) AS chunk_id
+                FROM documents
+            )
+            SELECT doc_id, chunk_id,
+                   LEAST(128, n - chunk_id * 128)::BIGINT AS chunk_len,
+                   substr(text, chunk_id * 128 + 1, 8) AS chunk_head
+            FROM c ORDER BY doc_id, chunk_id
+        """,
+        # Per-(source, lang) inventory; word count uses the shared
+        # trim + \s+ split semantics of every text oracle.
+        "source_stats": """
+            SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+                   SUM(len(string_split_regex(trim(text), '\\s+')))::BIGINT
+                       AS sum_words,
+                   SUM(length(text))::BIGINT AS sum_chars,
+                   MAX(length(text))::BIGINT AS max_chars
+            FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Vocabulary inventory per language: total and distinct tokens.
+        "vocab_per_lang": """
+            WITH t AS (
+                SELECT lang,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents
+            )
+            SELECT lang, COUNT(*)::BIGINT AS n_tokens,
+                   COUNT(DISTINCT tok)::BIGINT AS n_distinct
+            FROM t GROUP BY 1 ORDER BY 1
+        """,
+        # df-weighted doc scores: per doc sum/min of corpus document
+        # frequency over its tokens (with multiplicity). All-integer.
+        "rare_term_score": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents
+            ), df AS (
+                SELECT tok, COUNT(DISTINCT doc_id)::BIGINT AS df
+                FROM t GROUP BY 1
+            )
+            SELECT t.doc_id, COUNT(*)::BIGINT AS n_words,
+                   SUM(df.df)::BIGINT AS sum_df,
+                   MIN(df.df)::BIGINT AS min_df
+            FROM t JOIN df USING (tok)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # First-occurrence 5-gram novelty: a doc's distinct gram is novel
+        # iff the doc is the corpus-min doc_id containing it.
+        "ngram_novelty": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                     || ' ' || words[i+3] || ' ' || words[i+4]
+                     FOR i IN generate_series(1, len(words) - 4)]
+                )) AS gram
+                FROM w
+            ), m AS (
+                SELECT gram, MIN(doc_id) AS md FROM g GROUP BY 1
+            )
+            SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+                   SUM(CASE WHEN g.doc_id = m.md THEN 1 ELSE 0
+                       END)::BIGINT AS n_novel
+            FROM g JOIN m USING (gram)
+            GROUP BY 1 ORDER BY 1
         """,
         # Brute-force z-normalized Euclidean matrix profile, w=4, self-join
         # ez = ceil(w/4) = 1. Every float64 expression is parenthesized in

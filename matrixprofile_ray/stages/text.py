@@ -26,6 +26,12 @@ __all__ = [
     "repetition_stats",
     "dup_ngram_corpus",
     "decontaminate",
+    "bigram_topk",
+    "chunk_documents",
+    "source_stats",
+    "vocab_stats",
+    "rare_term_score",
+    "ngram_novelty",
     "TOP_STOPWORDS",
 ]
 
@@ -676,6 +682,38 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
     })
 
 
+def _distinct_gram_pairs(batch: pa.Table, n: int, id_col: str,
+                         text_col: str) -> pa.Table:
+    """Distinct (word-n-gram, doc_id) pairs of one batch — the shared
+    gram builder of :func:`dup_ngram_corpus` and :func:`ngram_novelty`.
+    Vectorized: one flat tokenize, start positions whose whole n-window
+    stays inside one doc, object-array string concat, drop_duplicates."""
+    import pandas as pd
+
+    flat, doc_idx, lens = _split_words_flat(batch, text_col)
+    ids = np.asarray(batch[id_col]).astype(np.int64)
+    m = len(flat)
+    if m < n:
+        return pa.table({
+            "gram": pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+        })
+    # start positions whose whole n-window stays inside one doc
+    starts = np.flatnonzero(doc_idx[: m - n + 1] == doc_idx[n - 1:])
+    gram = flat[starts].astype(object)
+    for k in range(1, n):
+        gram = gram + " "
+        gram = gram + flat[starts + k]
+    pairs = pd.DataFrame({
+        "gram": gram,
+        id_col: ids[doc_idx[starts]],
+    }).drop_duplicates()
+    return pa.table({
+        "gram": pa.array(pairs["gram"], pa.string()),
+        id_col: pa.array(pairs[id_col].to_numpy(dtype=np.int64)),
+    })
+
+
 def dup_ngram_corpus(ds, n: int = 5, id_col: str = "doc_id",
                      text_col: str = "text"):
     """Corpus-wide duplicate word-n-gram fraction per document.
@@ -700,28 +738,7 @@ def dup_ngram_corpus(ds, n: int = 5, id_col: str = "doc_id",
     from matrixprofile_ray.util import partitioned_group_map
 
     def distinct_grams(batch: pa.Table) -> pa.Table:
-        flat, doc_idx, lens = _split_words_flat(batch, text_col)
-        ids = np.asarray(batch[id_col]).astype(np.int64)
-        m = len(flat)
-        if m < n:
-            return pa.table({
-                "gram": pa.array([], pa.string()),
-                id_col: pa.array([], pa.int64()),
-            })
-        # start positions whose whole n-window stays inside one doc
-        starts = np.flatnonzero(doc_idx[: m - n + 1] == doc_idx[n - 1:])
-        gram = flat[starts].astype(object)
-        for k in range(1, n):
-            gram = gram + " "
-            gram = gram + flat[starts + k]
-        pairs = pd.DataFrame({
-            "gram": gram,
-            id_col: ids[doc_idx[starts]],
-        }).drop_duplicates()
-        return pa.table({
-            "gram": pa.array(pairs["gram"], pa.string()),
-            id_col: pa.array(pairs[id_col].to_numpy(dtype=np.int64)),
-        })
+        return _distinct_gram_pairs(batch, n, id_col, text_col)
 
     pairs = ds.map_batches(distinct_grams, batch_format="pyarrow")
 
@@ -809,3 +826,301 @@ def decontaminate(ds, n: int = 5, bench_mod: int = 97,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_topk(ds, k: int = 20, text_col: str = "text"):
+    """Global top-k word bigrams by exact count (collocation mining /
+    boilerplate-phrase detection over a web corpus).
+
+    Same partial-combine topology as :func:`token_histogram`: each batch
+    builds its adjacent-pair bigrams vectorized (object-array concat of
+    the flat token array shifted by one, doc-boundary-masked) and
+    pre-aggregates counts IN-BATCH, so the groupby exchange is
+    bigram-vocabulary-bounded, not corpus-bounded. All-integer counts;
+    ties at the boundary break by bigram ascending (binary order — the
+    corpus is ASCII, so numpy/pandas and SQL collation agree).
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, lens = _split_words_flat(batch, text_col)
+        if len(flat) < 2:
+            return pa.table({
+                "bigram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            })
+        same = doc_idx[1:] == doc_idx[:-1]
+        bg = flat[:-1][same].astype(object) + " " + flat[1:][same]
+        cnt = pd.Series(bg).value_counts()
+        return pa.table({
+            "bigram": pa.array(cnt.index.to_numpy(dtype=object),
+                               pa.string()),
+            "cnt": pa.array(cnt.to_numpy(dtype=np.int64)),
+        })
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("cnt")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(
+            [c if c != "sum(cnt)" else "cnt" for c in tbl.column_names]
+        )
+
+    return (
+        totals.map_batches(rename, batch_format="pyarrow")
+        .sort(["cnt", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def chunk_documents(ds, size: int = 128, head: int = 8,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Fixed-size character chunking — the training-sequence prep step
+    that splits long documents into ``size``-codepoint windows (the
+    pre-tokenization analogue of context-length packing; see also
+    :func:`pack_sequences` for the post-tokenization bin-pack).
+
+    Emits one row per chunk: ``(doc_id, chunk_id, chunk_len,
+    chunk_head)`` where ``chunk_head`` is the first ``head`` codepoints
+    of the chunk (proves the slicing is real without shipping the full
+    text twice). Zero-shuffle ``map_batches``; vectorized by chunk INDEX
+    — the Python loop runs ``ceil(max_len/size)`` times per batch (a
+    handful), each iteration one Arrow ``utf8_slice_codeunits`` over the
+    whole column. Codepoint slicing matches SQL ``substr`` exactly on
+    this ASCII corpus (and on any UTF-8 input both sides count
+    codepoints).
+    """
+    def chunks(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lens = pc.utf8_length(text).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = np.asarray(batch[id_col]).astype(np.int64)
+        out_id, out_cid, out_len, out_head = [], [], [], []
+        max_chunks = int(np.ceil(lens.max() / size)) if len(lens) else 0
+        for ci in range(max_chunks):
+            sel = np.flatnonzero(lens > ci * size)
+            if not len(sel):
+                break
+            heads = pc.utf8_slice_codeunits(
+                text, start=ci * size, stop=ci * size + head).take(
+                pa.array(sel))
+            out_id.append(ids[sel])
+            out_cid.append(np.full(len(sel), ci, dtype=np.int64))
+            out_len.append(np.minimum(size, lens[sel] - ci * size))
+            out_head.append(heads)
+        if not out_id:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "chunk_len": pa.array([], pa.int64()),
+                "chunk_head": pa.array([], pa.string()),
+            })
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id)),
+            "chunk_id": pa.array(np.concatenate(out_cid)),
+            "chunk_len": pa.array(np.concatenate(out_len)),
+            "chunk_head": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in out_head]),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def source_stats(ds, keys: tuple = ("source", "lang"),
+                 text_col: str = "text"):
+    """Per-(source, lang) corpus inventory: doc count, total words,
+    total chars, longest doc — the crawl-manifest rollup every corpus
+    build starts with.
+
+    In-batch combiner → ONE key-cardinality-bounded exchange
+    (``partitioned_group_map``) → vectorized fold; word counts use the
+    same tokenize as every text oracle (``trim`` + split ``\\s+``).
+    All-integer output.
+    """
+    import pandas as pd
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    keys = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, lens = _split_words_flat(batch, text_col)
+        chars = pc.utf8_length(batch[text_col]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({k: np.asarray(batch[k]) for k in keys})
+        df["n_docs"] = np.int64(1)
+        df["sum_words"] = lens
+        df["sum_chars"] = chars
+        df["max_chars"] = chars
+        agg = df.groupby(keys, as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_words=("sum_words", "sum"),
+            sum_chars=("sum_chars", "sum"), max_chars=("max_chars", "max"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(keys, as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_words=("sum_words", "sum"),
+            sum_chars=("sum_chars", "sum"), max_chars=("max_chars", "max"))
+
+    return partitioned_group_map(partials, keys, fold)
+
+
+def vocab_stats(ds, group_col: str = "lang", text_col: str = "text"):
+    """Per-group vocabulary size: total tokens and DISTINCT tokens per
+    ``group_col`` (type/token inventory — the corpus-level lexical
+    diversity statistic).
+
+    Each batch pre-aggregates (group, token, cnt) in-batch, then ONE
+    hash-partition by token co-locates every occurrence of a token so
+    the distinct count is a local first-occurrence count — the exchange
+    is vocabulary-bounded. Per-partition partials (one row per group per
+    partition — O(groups × partitions), cluster-sized) fold on the
+    driver. All-integer output sorted by group.
+    """
+    import pandas as pd
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, lens = _split_words_flat(batch, text_col)
+        groups = np.asarray(batch[group_col])[doc_idx]
+        cnt = pd.DataFrame({"g": groups, "tok": flat}).groupby(
+            ["g", "tok"], as_index=False).size()
+        return pa.table({
+            "g": pa.array(cnt["g"], pa.string()),
+            "tok": pa.array(cnt["tok"], pa.string()),
+            "cnt": pa.array(cnt["size"].to_numpy(dtype=np.int64)),
+        })
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_token_fold(part: pd.DataFrame) -> pd.DataFrame:
+        nt = part.groupby("g", as_index=False)["cnt"].sum().rename(
+            columns={"cnt": "n_tokens"})
+        nd = part.drop_duplicates(["g", "tok"]).groupby(
+            "g", as_index=False).size().rename(columns={"size": "n_distinct"})
+        return nt.merge(nd, on="g")
+
+    partials = partitioned_group_map(pairs, ["tok"], per_token_fold)
+    out = partials.to_pandas()  # O(groups × partitions) rows — bounded
+    out = out.groupby("g", as_index=False).agg(
+        n_tokens=("n_tokens", "sum"), n_distinct=("n_distinct", "sum"))
+    out = out.rename(columns={"g": group_col})
+    for c in ("n_tokens", "n_distinct"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def rare_term_score(ds, id_col: str = "doc_id", text_col: str = "text",
+                    max_vocab: int = 2_000_000):
+    """Document-frequency-weighted doc scoring (the integer-exact core
+    of tf-idf / rare-word quality filters): per doc, the sum and min of
+    the corpus document frequency of its tokens (with multiplicity).
+    A low ``min_df`` flags docs containing corpus-rare terms; ``sum_df``
+    is the unnormalized commonness mass.
+
+    Two-pass broadcast topology: pass 1 computes the df table with the
+    :func:`term_df_top` partial-combine (vocabulary-bounded exchange) and
+    collects it ONCE to the driver (guarded by ``max_vocab`` so a
+    pathological corpus fails loudly — at web scale cap the vocab with
+    :func:`heavy_hitters`-style candidate pruning first); pass 2
+    broadcasts the sorted vocab via ``ray.put`` and scores each batch
+    zero-shuffle with one ``searchsorted`` + ``bincount``. All-integer
+    output (df ≤ n_docs and words/doc are bounded, so the float64
+    bincount accumulator stays exact below 2^53).
+    """
+    import pandas as pd
+    import ray
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, lens = _split_words_flat(batch, text_col)
+        ids = np.asarray(batch[id_col]).astype(np.int64)
+        pairs = pd.DataFrame({
+            "doc": ids[doc_idx], "tok": flat}).drop_duplicates()
+        cnt = pairs.groupby("tok", as_index=False).size()
+        return pa.table({
+            "tok": pa.array(cnt["tok"], pa.string()),
+            "df": pa.array(cnt["size"].to_numpy(dtype=np.int64)),
+        })
+
+    totals = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("tok")
+        .sum("df")
+        .to_pandas()
+    )
+    if len(totals) > max_vocab:
+        raise ValueError(
+            f"vocabulary {len(totals)} exceeds max_vocab={max_vocab}; "
+            "pre-prune with heavy_hitters or raise the guard")
+    order = np.argsort(totals["tok"].to_numpy(dtype=object))
+    toks_sorted = totals["tok"].to_numpy(dtype=object)[order]
+    dfs_sorted = totals["sum(df)"].to_numpy(dtype=np.int64)[order]
+    handle = ray.put((toks_sorted, dfs_sorted))
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks, dfs = ray.get(handle)
+        flat, doc_idx, lens = _split_words_flat(batch, text_col)
+        ids = np.asarray(batch[id_col]).astype(np.int64)
+        n = batch.num_rows
+        pos = np.searchsorted(toks, flat)
+        dfv = dfs[pos]
+        sum_df = np.bincount(
+            doc_idx, weights=dfv.astype(np.float64), minlength=n
+        ).astype(np.int64)
+        min_df = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(min_df, doc_idx, dfv)
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_words": pa.array(lens),
+            "sum_df": pa.array(sum_df),
+            "min_df": pa.array(min_df),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def ngram_novelty(ds, n: int = 5, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """First-occurrence n-gram novelty per document (Lee et al. 2022
+    §4 'train-test overlap over time' shape): a doc's distinct n-gram is
+    *novel* when no doc with a smaller ``doc_id`` contains it — i.e. the
+    doc is the corpus-min owner of the gram. Declining novelty across a
+    crawl ordering is the classic duplication-growth diagnostic.
+
+    Same slim topology as :func:`dup_ngram_corpus`: distinct (gram, doc)
+    pairs hash-partition by gram (each gram's full group is local, so
+    min-attribution is a partition-local ``transform('min')``), per-doc
+    partials then fold in a doc-bounded second exchange. All-integer.
+    """
+    import pandas as pd
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    def distinct_grams(batch: pa.Table) -> pa.Table:
+        return _distinct_gram_pairs(batch, n, id_col, text_col)
+
+    pairs = ds.map_batches(distinct_grams, batch_format="pyarrow")
+
+    def per_gram_fold(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(["gram", id_col])
+        md = part.groupby("gram", sort=False)[id_col].transform("min")
+        part = part.assign(novel=(part[id_col] == md).astype(np.int64))
+        return part.groupby(id_col, as_index=False).agg(
+            n_grams=("gram", "count"), n_novel=("novel", "sum"))
+
+    partials = partitioned_group_map(pairs, ["gram"], per_gram_fold)
+
+    def per_doc_fold(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(id_col, as_index=False).agg(
+            n_grams=("n_grams", "sum"), n_novel=("n_novel", "sum"))
+
+    return partitioned_group_map(partials, [id_col], per_doc_fold)

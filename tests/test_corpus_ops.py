@@ -1206,3 +1206,121 @@ class TestDecontaminate:
         assert got == {0: 1, 97: 1, 5: 1, 6: 0}
         n_hit = dict(zip(out["doc_id"], out["n_hit"]))
         assert n_hit[5] == 1 and n_hit[6] == 0
+
+
+class TestCorpusTextExtras:
+    """bigram_topk / chunk_documents / source_stats / vocab_stats /
+    rare_term_score / ngram_novelty — the round-4 additive corpus ops."""
+
+    def test_bigram_topk_counts_across_blocks(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import bigram_topk
+
+        # "a b" appears 3x (twice in doc0, once in doc2), "b a" 1x,
+        # "c d" 1x — and no bigram crosses a doc boundary
+        ds = rd.from_arrow(_docs(["a b a b", "c d", "a b"])).repartition(3)
+        df = bigram_topk(ds, k=10).to_pandas()
+        got = dict(zip(df["bigram"], df["cnt"]))
+        assert got == {"a b": 3, "b a": 1, "c d": 1}
+        # sorted by cnt desc then bigram asc
+        assert list(df["bigram"]) == ["a b", "b a", "c d"]
+
+    def test_chunk_documents_lens_and_heads(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import chunk_documents
+
+        text = "x" * 120 + "HEADMARK" + "y" * 172  # 300 chars
+        ds = rd.from_arrow(_docs([text, "short"]))
+        df = (chunk_documents(ds, size=128, head=8).to_pandas()
+              .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+        d0 = df[df["doc_id"] == 0]
+        assert list(d0["chunk_len"]) == [128, 128, 44]
+        assert list(d0["chunk_head"]) == [
+            text[0:8], text[128:136], text[256:264]]
+        d1 = df[df["doc_id"] == 1]
+        assert list(d1["chunk_len"]) == [5]
+        assert list(d1["chunk_head"]) == ["short"]  # clamps at string end
+
+    def test_source_stats_exact(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import source_stats
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b c", "dd ee", "f"], pa.string()),
+            "source": pa.array(["s1", "s1", "s2"], pa.string()),
+            "lang": pa.array(["en", "en", "de"], pa.string()),
+        })
+        df = (source_stats(rd.from_arrow(tbl).repartition(2)).to_pandas()
+              .sort_values(["source", "lang"]).reset_index(drop=True))
+        s1 = df[df["source"] == "s1"].iloc[0]
+        assert (s1["n_docs"], s1["sum_words"], s1["sum_chars"],
+                s1["max_chars"]) == (2, 5, 10, 5)
+        s2 = df[df["source"] == "s2"].iloc[0]
+        assert (s2["n_docs"], s2["sum_words"], s2["sum_chars"],
+                s2["max_chars"]) == (1, 1, 1, 1)
+
+    def test_vocab_stats_distinct_across_blocks(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import vocab_stats
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b a", "b c", "a"], pa.string()),
+            "lang": pa.array(["en", "en", "de"], pa.string()),
+        })
+        # distinct must dedupe the SAME token seen in different blocks
+        df = vocab_stats(rd.from_arrow(tbl).repartition(3))
+        en = df[df["lang"] == "en"].iloc[0]
+        assert (en["n_tokens"], en["n_distinct"]) == (5, 3)
+        de = df[df["lang"] == "de"].iloc[0]
+        assert (de["n_tokens"], de["n_distinct"]) == (1, 1)
+
+    def test_rare_term_score_exact(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import rare_term_score
+
+        # df: a→2 docs, b→2, c→1
+        ds = rd.from_arrow(_docs(["a b a", "b c", "a"])).repartition(2)
+        df = (rare_term_score(ds).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        # doc0 = a b a → sum_df = 2+2+2, min 2; doc1 = b c → 2+1, min 1
+        assert list(df["n_words"]) == [3, 2, 1]
+        assert list(df["sum_df"]) == [6, 3, 2]
+        assert list(df["min_df"]) == [2, 1, 2]
+
+    def test_rare_term_score_vocab_guard(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import rare_term_score
+
+        ds = rd.from_arrow(_docs(["a b c d e"]))
+        with pytest.raises(ValueError, match="max_vocab"):
+            rare_term_score(ds, max_vocab=2).to_pandas()
+
+    def test_ngram_novelty_first_occurrence(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import ngram_novelty
+
+        shared = "v w x y z"
+        docs = [shared + " p q r s t",        # doc0: all grams novel
+                shared,                        # doc1: its one gram is doc0's
+                "m n o p q m n o p q"]         # doc2: repeats internally
+        df = (ngram_novelty(rd.from_arrow(_docs(docs)).repartition(3), n=5)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(df["doc_id"]) == [0, 1, 2]
+        # doc0: 6 distinct grams, all first-occurrence
+        assert (df.loc[0, "n_grams"], df.loc[0, "n_novel"]) == (6, 6)
+        # doc1's single gram was seen in doc0
+        assert (df.loc[1, "n_grams"], df.loc[1, "n_novel"]) == (1, 0)
+        # doc2: 6 gram positions but "m n o p q" occurs at position 1 AND
+        # 6 → 5 distinct grams, none shared with earlier docs
+        assert df.loc[2, "n_novel"] == df.loc[2, "n_grams"] == 5
+        # invariant: total novel == count of distinct grams in corpus
+        assert df["n_novel"].sum() == 6 + 0 + 5  # = 11
