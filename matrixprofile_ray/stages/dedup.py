@@ -110,19 +110,53 @@ def _batch_shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     index selection. Returns (flat_hashes, doc_starts) where
     ``doc_starts[i]`` indexes doc i's first shingle — ready for
     ``np.minimum.reduceat`` / ``np.add.reduceat`` segmented reductions.
+
+    Accepts a Python list of str OR an Arrow string array/chunked array.
+    The Arrow path reads the column's UTF-8 data buffer directly — an
+    Arrow string column's value buffer IS the docs' bytes back-to-back,
+    so no ``to_pylist`` / per-row ``encode`` loop runs on the hot stage;
+    when every doc has >= k bytes nothing is copied before the uint64
+    widening the rolling hash needs anyway.
     """
-    if len(texts) == 0:
-        # Ray may deliver an empty block; sliding_window_view over a
-        # zero-length buffer raises, so short-circuit instead.
-        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
-    encoded = []
-    for t in texts:
-        e = t.encode()
-        if len(e) < k:
-            e = e + b" " * (k - len(e))
-        encoded.append(e)
-    lens = np.array([len(e) for e in encoded], dtype=np.int64)
-    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.uint64)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        n = len(texts)
+        if n == 0:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        off_dtype = (np.int64 if pa.types.is_large_string(texts.type)
+                     else np.int32)
+        offs = np.frombuffer(texts.buffers()[1], dtype=off_dtype)[
+            texts.offset: texts.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offs)
+        seg = data[offs[0]: offs[-1]]
+        if (lens < k).any():
+            # space-pad short docs: scatter every source byte to its
+            # padded position (positions are vectorized, no per-doc loop)
+            new_lens = np.maximum(lens, k)
+            dst_offs = np.concatenate(
+                [[0], np.cumsum(new_lens)]).astype(np.int64)
+            out = np.full(int(dst_offs[-1]), 0x20, dtype=np.uint8)
+            within = (np.arange(len(seg), dtype=np.int64)
+                      - np.repeat(offs[:-1] - offs[0], lens))
+            out[np.repeat(dst_offs[:-1], lens) + within] = seg
+            seg, lens = out, new_lens
+        buf = seg.astype(np.uint64)
+    else:
+        if len(texts) == 0:
+            # Ray may deliver an empty block; sliding_window_view over a
+            # zero-length buffer raises, so short-circuit instead.
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        encoded = []
+        for t in texts:
+            e = t.encode()
+            if len(e) < k:
+                e = e + b" " * (k - len(e))
+            encoded.append(e)
+        lens = np.array([len(e) for e in encoded], dtype=np.int64)
+        buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(
+            np.uint64)
     offs = np.concatenate([[0], np.cumsum(lens)])
 
     base = np.uint64(1099511628211)
@@ -163,9 +197,8 @@ def _minhash_matrix(
     is unnecessary here.
     """
     a, b = _minhash_params(num_perm)
-    texts = batch["text"].to_pylist()
-    n = len(texts)
-    flat, doc_starts = _batch_shingle_hashes(texts, shingle_k)
+    n = batch.num_rows
+    flat, doc_starts = _batch_shingle_hashes(batch["text"], shingle_k)
     sigs = np.empty((n, num_perm), dtype=np.uint64)
     for p in range(num_perm):
         vals = _mersenne_affine(a[p], b[p], flat)
@@ -202,6 +235,36 @@ def _pack_sig_binary(sigs: np.ndarray) -> pa.Array:
         [None, pa.py_buffer(offsets.tobytes()),
          pa.py_buffer(np.ascontiguousarray(sigs).tobytes())],
     )
+
+
+def _unpack_sig_binary(col, num_perm: int) -> np.ndarray:
+    """Arrow binary column of packed signatures → (n, num_perm) int64.
+
+    Inverse of :func:`_pack_sig_binary`. Signature rows are fixed-width
+    (``num_perm * 8`` bytes), so when the offsets are width-spaced —
+    every column this pipeline produces, including slices — the value
+    buffer IS the (n, num_perm) matrix and one zero-copy reshape reads
+    it. (A fancy-index gather here built an int64 index matrix 8× the
+    signature bytes per batch and measurably slowed the verify join;
+    don't reintroduce it.) Irregular layouts fall back to a linear
+    bytes join.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.int64)
+    width = num_perm * 8
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset: col.offset + n + 1].astype(np.int64)
+    if (np.diff(offs) == width).all():
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        seg = data[offs[0]: offs[-1]]
+        if seg.ctypes.data % 8:
+            seg = seg.copy()  # realign for the int64 view
+        return seg.view(np.int64).reshape(n, num_perm)
+    return np.frombuffer(
+        b"".join(col.to_pylist()), dtype=np.int64).reshape(n, num_perm)
 
 
 def minhash_signatures(
@@ -364,12 +427,8 @@ def minhash_dedup_pairs(
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "sim": pa.array([], pa.float64())})
-        sig_a = np.frombuffer(
-            b"".join(tbl["sig_a"].to_pylist()), dtype=np.int64
-        ).reshape(tbl.num_rows, num_perm)
-        sig_b = np.frombuffer(
-            b"".join(tbl["sig_b"].to_pylist()), dtype=np.int64
-        ).reshape(tbl.num_rows, num_perm)
+        sig_a = _unpack_sig_binary(tbl["sig_a"], num_perm)
+        sig_b = _unpack_sig_binary(tbl["sig_b"], num_perm)
         sim = (sig_a == sig_b).mean(axis=1)
         keep = sim >= threshold
         return pa.table({
@@ -391,9 +450,8 @@ def simhash(batch: pa.Table, shingle_k: int = 5) -> pa.Table:
     round-1 per-doc ``np.unique`` semantics), then one
     ``np.add.reduceat`` over the (shingle, 64) bit matrix.
     """
-    texts = batch["text"].to_pylist()
-    n = len(texts)
-    flat, doc_starts = _batch_shingle_hashes(texts, shingle_k)
+    n = batch.num_rows
+    flat, doc_starts = _batch_shingle_hashes(batch["text"], shingle_k)
     doc_idx = np.repeat(np.arange(n, dtype=np.int64),
                         np.diff(np.concatenate([doc_starts, [len(flat)]])))
     # unique-within-doc mask via lexsort on (doc, hash)

@@ -1324,3 +1324,48 @@ class TestCorpusTextExtras:
         assert df.loc[2, "n_novel"] == df.loc[2, "n_grams"] == 5
         # invariant: total novel == count of distinct grams in corpus
         assert df["n_novel"].sum() == 6 + 0 + 5  # = 11
+
+
+class TestShingleArrowPath:
+    """The Arrow-buffer fast path of _batch_shingle_hashes must be
+    bit-identical to the list-of-str path (round-3 'what's wrong' 1:
+    no per-row encode loop on the hot minhash stage)."""
+
+    def test_arrow_matches_list_path(self):
+        from matrixprofile_ray.stages.dedup import _batch_shingle_hashes
+
+        texts = ["abcdefgh", "xy", "", "hello world " * 7, "q" * 5]
+        f1, s1 = _batch_shingle_hashes(texts, 5)
+        f2, s2 = _batch_shingle_hashes(pa.array(texts, pa.string()), 5)
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(s1, s2)
+
+    def test_arrow_sliced_and_chunked(self):
+        from matrixprofile_ray.stages.dedup import _batch_shingle_hashes
+
+        texts = ["padding-row", "abcdefgh", "xy", "hello world"]
+        arr = pa.array(texts, pa.string()).slice(1)  # non-zero offset
+        f1, s1 = _batch_shingle_hashes(texts[1:], 5)
+        f2, s2 = _batch_shingle_hashes(arr, 5)
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(s1, s2)
+        ch = pa.chunked_array([texts[1:3], texts[3:]],
+                              type=pa.string())
+        f3, s3 = _batch_shingle_hashes(ch, 5)
+        np.testing.assert_array_equal(f1, f3)
+        np.testing.assert_array_equal(s1, s3)
+
+    def test_sig_pack_unpack_roundtrip(self):
+        from matrixprofile_ray.stages.dedup import (
+            _pack_sig_binary,
+            _unpack_sig_binary,
+        )
+
+        rng = np.random.default_rng(3)
+        sigs = rng.integers(0, 2**63, size=(7, 16), dtype=np.uint64)
+        col = _pack_sig_binary(sigs)
+        back = _unpack_sig_binary(col, 16)
+        np.testing.assert_array_equal(back, sigs.view(np.int64))
+        # sliced column (post-join offset) must unpack the right rows
+        back2 = _unpack_sig_binary(col.slice(2, 3), 16)
+        np.testing.assert_array_equal(back2, sigs.view(np.int64)[2:5])
