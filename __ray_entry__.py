@@ -2887,6 +2887,23 @@ def q_ngram_novelty(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-language doc-length distribution profile: exact discrete
+    quartiles of n_chars (DuckDB quantile_disc semantics, binary-exact
+    q values). One group-hash exchange + vectorized segment picks."""
+    from matrixprofile_ray.stages.relational import grouped_quantile_disc
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    df = grouped_quantile_disc(ds, "lang", "n_chars").to_pandas()
+    df = df.rename(columns={"n": "n_docs", "min": "min_chars",
+                            "max": "max_chars"})
+    for c in ("n_docs", "min_chars", "p25", "p50", "p75", "max_chars"):
+        df[c] = df[c].astype("int64")
+    return (df[["lang", "n_docs", "min_chars", "p25", "p50", "p75",
+                "max_chars"]]
+            .sort_values("lang").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Ordered: oracle-backed queries first (every entry below the
@@ -2973,6 +2990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_per_lang": q_vocab_per_lang,
         "rare_term_score": q_rare_term_score,
         "ngram_novelty": q_ngram_novelty,
+        "grouped_quantiles": q_grouped_quantiles,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4455,6 +4473,17 @@ def oracle_sql() -> dict[str, str]:
                        END)::BIGINT AS n_novel
             FROM g JOIN m USING (gram)
             GROUP BY 1 ORDER BY 1
+        """,
+        # Exact per-language discrete quartiles of doc length; 0.25/0.5/
+        # 0.75 are exact doubles so q*n rounds identically on both sides.
+        "grouped_quantiles": """
+            SELECT lang, COUNT(*)::BIGINT AS n_docs,
+                   MIN(n_chars)::BIGINT AS min_chars,
+                   quantile_disc(n_chars, 0.25)::BIGINT AS p25,
+                   quantile_disc(n_chars, 0.50)::BIGINT AS p50,
+                   quantile_disc(n_chars, 0.75)::BIGINT AS p75,
+                   MAX(n_chars)::BIGINT AS max_chars
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         # Brute-force z-normalized Euclidean matrix profile, w=4, self-join
         # ez = ceil(w/4) = 1. Every float64 expression is parenthesized in

@@ -704,3 +704,57 @@ def broadcast_join_sum(big_ds, small_keys: np.ndarray, small_vals: np.ndarray,
     out["n"] = out["n"].astype(np.int64)
     out["total"] = out["total"].astype(np.int64)
     return out.sort_values("group").reset_index(drop=True)
+
+
+def grouped_quantile_disc(ds, group_col: str, value_col: str,
+                          qs: tuple = (0.25, 0.5, 0.75)):
+    """EXACT per-group discrete quantiles (plus n/min/max) — the
+    length-distribution profile a corpus audit reports per language /
+    source before picking filter thresholds.
+
+    Discrete quantile = the element at index ``max(ceil(q*n) - 1, 0)``
+    of the group's sorted values — DuckDB's ``quantile_disc`` semantics,
+    so integer inputs give a bit-exact oracle. Use binary-exact q values
+    (0.25/0.5/0.75 — exact doubles) so ``q * n`` rounds identically on
+    both sides; q=0.9 style decimals can differ in the last ulp.
+
+    Topology: ONE hash-partition by group co-locates each group, then a
+    vectorized lexsort + segment-boundary pick per partition — no
+    per-group Python. Groups must fit a partition (language/source
+    cardinality); for unbounded value streams use the mergeable
+    :func:`histogram_quantiles` sketch instead.
+
+    Returns columns: group_col, n, min, p{q*100}..., max (value dtype
+    preserved for the quantile/min/max columns).
+    """
+    import pandas as pd
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: [], "n": [], "min": [], "max": []}
+        if part.empty:
+            out = pd.DataFrame(cols)
+            for q in qs:
+                out[f"p{int(q * 100)}"] = []
+            return out
+        vals = part[value_col].to_numpy()
+        grp = part[group_col].to_numpy()
+        order = np.lexsort((vals, grp))
+        vals, grp = vals[order], grp[order]
+        first = np.ones(len(grp), dtype=bool)
+        first[1:] = grp[1:] != grp[:-1]
+        starts = np.flatnonzero(first)
+        ns = np.diff(np.append(starts, len(grp)))
+        out = pd.DataFrame({
+            group_col: grp[starts],
+            "n": ns.astype(np.int64),
+            "min": vals[starts],
+            "max": vals[starts + ns - 1],
+        })
+        for q in qs:
+            idx = np.maximum(np.ceil(q * ns).astype(np.int64) - 1, 0)
+            out[f"p{int(q * 100)}"] = vals[starts + idx]
+        return out
+
+    return partitioned_group_map(ds, [group_col], fold)

@@ -673,3 +673,45 @@ class TestBroadcastJoinSum:
                            "v": [1.0, 2.0, 3.0, 2.0**22]})
         with pytest.raises(Exception, match="2\\^21|RayTaskError|ValueError"):
             grouped_moments(rd.from_pandas(df), "k", "v").to_pandas()
+
+
+class TestGroupedQuantileDisc:
+    def test_matches_duckdb_quantile_disc(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import grouped_quantile_disc
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], size=500),
+            "v": rng.integers(0, 1000, size=500),
+        })
+        got = (grouped_quantile_disc(rd.from_pandas(df).repartition(7),
+                                     "g", "v")
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            "SELECT g, COUNT(*) AS n, MIN(v) AS min,"
+            " quantile_disc(v, 0.25) AS p25, quantile_disc(v, 0.5) AS p50,"
+            " quantile_disc(v, 0.75) AS p75, MAX(v) AS max"
+            " FROM t GROUP BY 1 ORDER BY 1").df()
+        for c in ("n", "min", "p25", "p50", "p75", "max"):
+            assert got[c].astype("int64").tolist() == \
+                want[c].astype("int64").tolist(), c
+
+    def test_small_group_edges(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import grouped_quantile_disc
+
+        # n=1: every quantile is the single element; n=2: p25/p50 pick
+        # index max(ceil(q*2)-1, 0) = 0, p75 picks 1
+        df = pd.DataFrame({"g": ["x", "y", "y"], "v": [7, 10, 20]})
+        got = (grouped_quantile_disc(rd.from_pandas(df), "g", "v")
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        x = got[got["g"] == "x"].iloc[0]
+        assert (x["p25"], x["p50"], x["p75"]) == (7, 7, 7)
+        y = got[got["g"] == "y"].iloc[0]
+        assert (y["p25"], y["p50"], y["p75"]) == (10, 10, 20)
