@@ -2904,6 +2904,42 @@ def q_grouped_quantiles(sf_dir: str):
             .sort_values("lang").reset_index(drop=True))
 
 
+def q_prefix_dup_groups(sf_dir: str):
+    """Template/boilerplate detection: groups of docs sharing their first
+    16 chars. Zero-copy Arrow prefix slice + one prefix-hash exchange."""
+    from matrixprofile_ray.stages.text import prefix_dup_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = prefix_dup_groups(ds, prefix_len=16).to_pandas()
+    for c in ("n_docs", "min_doc_id"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("prefix").reset_index(drop=True)
+
+
+def q_events_daily_users(sf_dir: str):
+    """Daily-active-users rollup: per UTC day, exact event count and
+    distinct-user count. In-batch combine + one user-hash exchange
+    (each user's rows co-located → local first-occurrence distinct)."""
+    import pyarrow as pa
+
+    from matrixprofile_ray.stages.relational import grouped_distinct_count
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": pa.array(us // 86_400_000_000),
+            "user_id": batch["user_id"],
+        })
+
+    days = ds.map_batches(add_day, batch_format="pyarrow")
+    df = grouped_distinct_count(days, "day", "user_id")
+    df = df.rename(columns={"n_rows": "n_events", "n_distinct": "n_users"})
+    df["day"] = df["day"].astype("int64")
+    return df.sort_values("day").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Ordered: oracle-backed queries first (every entry below the
@@ -2991,6 +3027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_term_score": q_rare_term_score,
         "ngram_novelty": q_ngram_novelty,
         "grouped_quantiles": q_grouped_quantiles,
+        "prefix_dup_groups": q_prefix_dup_groups,
+        "events_daily_users": q_events_daily_users,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4484,6 +4522,23 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.75)::BIGINT AS p75,
                    MAX(n_chars)::BIGINT AS max_chars
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # Shared-16-char-prefix duplicate groups (template detection);
+        # substr is codepoint-based like the Arrow slice.
+        "prefix_dup_groups": """
+            SELECT substr(text, 1, 16) AS prefix,
+                   COUNT(*)::BIGINT AS n_docs,
+                   MIN(doc_id)::BIGINT AS min_doc_id
+            FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
+            ORDER BY prefix
+        """,
+        # Daily-active-users: exact per-UTC-day event and distinct-user
+        # counts; day = integer division of the epoch microseconds.
+        "events_daily_users": """
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   COUNT(*)::BIGINT AS n_events,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         # Brute-force z-normalized Euclidean matrix profile, w=4, self-join
         # ez = ceil(w/4) = 1. Every float64 expression is parenthesized in

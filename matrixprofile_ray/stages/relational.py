@@ -758,3 +758,40 @@ def grouped_quantile_disc(ds, group_col: str, value_col: str,
         return out
 
     return partitioned_group_map(ds, [group_col], fold)
+
+
+def grouped_distinct_count(ds, group_col: str, distinct_col: str):
+    """Per-group row count + EXACT distinct count of ``distinct_col``
+    (daily-active-users shape: COUNT(*) + COUNT(DISTINCT user) per day).
+
+    Each batch pre-aggregates (group, value, cnt) in-batch, then ONE
+    hash-partition by the distinct VALUE co-locates every occurrence so
+    the distinct count is a local first-occurrence count; per-partition
+    partials (O(groups × partitions) rows, cluster-sized) fold on the
+    driver. No corpus-scale shuffle, no sort.
+    """
+    import pandas as pd
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cnt = batch.groupby([group_col, distinct_col], as_index=False).size()
+        return cnt.rename(columns={"size": "cnt"})
+
+    pairs = ds.map_batches(partial, batch_format="pandas")
+
+    def per_value_fold(part: pd.DataFrame) -> pd.DataFrame:
+        nr = part.groupby(group_col, as_index=False)["cnt"].sum().rename(
+            columns={"cnt": "n_rows"})
+        nd = part.drop_duplicates([group_col, distinct_col]).groupby(
+            group_col, as_index=False).size().rename(
+            columns={"size": "n_distinct"})
+        return nr.merge(nd, on=group_col)
+
+    partials = partitioned_group_map(pairs, [distinct_col], per_value_fold)
+    out = partials.to_pandas()
+    out = out.groupby(group_col, as_index=False).agg(
+        n_rows=("n_rows", "sum"), n_distinct=("n_distinct", "sum"))
+    for c in ("n_rows", "n_distinct"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(group_col).reset_index(drop=True)

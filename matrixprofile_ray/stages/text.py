@@ -1124,3 +1124,34 @@ def ngram_novelty(ds, n: int = 5, id_col: str = "doc_id",
             n_grams=("n_grams", "sum"), n_novel=("n_novel", "sum"))
 
     return partitioned_group_map(partials, [id_col], per_doc_fold)
+
+
+def prefix_dup_groups(ds, prefix_len: int = 64, min_group: int = 2,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Shared-prefix duplicate groups — the boilerplate/template detector
+    (docs emitted from one page template share their first N chars even
+    when tails differ; catching them is cheaper than MinHash).
+
+    Zero-copy Arrow prefix slice per batch, then ONE prefix-hash
+    partition; per-partition vectorized group stats. Returns one row per
+    prefix with >= ``min_group`` docs: prefix, n_docs, min_doc_id.
+    """
+    import pandas as pd
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "prefix": pc.utf8_slice_codeunits(
+                batch[text_col], start=0, stop=prefix_len),
+            id_col: batch[id_col],
+        })
+
+    pairs = ds.map_batches(prefixes, batch_format="pyarrow")
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        agg = part.groupby("prefix", as_index=False).agg(
+            n_docs=(id_col, "size"), min_doc_id=(id_col, "min"))
+        return agg[agg["n_docs"] >= min_group]
+
+    return partitioned_group_map(pairs, ["prefix"], fold)

@@ -1369,3 +1369,22 @@ class TestShingleArrowPath:
         # sliced column (post-join offset) must unpack the right rows
         back2 = _unpack_sig_binary(col.slice(2, 3), 16)
         np.testing.assert_array_equal(back2, sigs.view(np.int64)[2:5])
+
+
+class TestPrefixDupGroups:
+    def test_groups_and_threshold(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import prefix_dup_groups
+
+        docs = _docs([
+            "TEMPLATE-A tail one", "TEMPLATE-A tail two",
+            "TEMPLATE-A different", "unique document here", "short",
+        ])
+        out = (prefix_dup_groups(rd.from_arrow(docs).repartition(3),
+                                 prefix_len=10)
+               .to_pandas().sort_values("prefix").reset_index(drop=True))
+        assert len(out) == 1
+        assert out.loc[0, "prefix"] == "TEMPLATE-A"
+        assert out.loc[0, "n_docs"] == 3
+        assert out.loc[0, "min_doc_id"] == 0

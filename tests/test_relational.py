@@ -715,3 +715,22 @@ class TestGroupedQuantileDisc:
         assert (x["p25"], x["p50"], x["p75"]) == (7, 7, 7)
         y = got[got["g"] == "y"].iloc[0]
         assert (y["p25"], y["p50"], y["p75"]) == (10, 10, 20)
+
+
+class TestGroupedDistinctCount:
+    def test_exact_distinct_across_blocks(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import grouped_distinct_count
+
+        # user 1 appears on day 1 in two different blocks → must count once
+        df = pd.DataFrame({
+            "day": [1, 1, 1, 2, 2, 1],
+            "user": [1, 2, 1, 1, 1, 1],
+        })
+        got = grouped_distinct_count(
+            rd.from_pandas(df).repartition(3), "day", "user")
+        d1 = got[got["day"] == 1].iloc[0]
+        assert (d1["n_rows"], d1["n_distinct"]) == (4, 2)
+        d2 = got[got["day"] == 2].iloc[0]
+        assert (d2["n_rows"], d2["n_distinct"]) == (2, 1)
