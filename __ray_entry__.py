@@ -2940,6 +2940,18 @@ def q_events_daily_users(sf_dir: str):
     return df.sort_values("day").reset_index(drop=True)
 
 
+def q_doc_rank_by_len(sf_dir: str):
+    """Global ROW_NUMBER over (n_chars, doc_id) without a global sort —
+    distributed prefix-sum ranking (curriculum-ordering shape)."""
+    from matrixprofile_ray.stages.relational import global_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    df = global_rank(ds, "n_chars", "doc_id").to_pandas()
+    for c in ("doc_id", "n_chars", "rnk"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Ordered: oracle-backed queries first (every entry below the
@@ -3029,6 +3041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": q_grouped_quantiles,
         "prefix_dup_groups": q_prefix_dup_groups,
         "events_daily_users": q_events_daily_users,
+        "doc_rank_by_len": q_doc_rank_by_len,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4539,6 +4552,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_events,
                    COUNT(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # Global 1-based rank over (n_chars, doc_id); all-integer.
+        "doc_rank_by_len": """
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)::BIGINT
+                       AS rnk
+            FROM documents ORDER BY doc_id
         """,
         # Brute-force z-normalized Euclidean matrix profile, w=4, self-join
         # ez = ceil(w/4) = 1. Every float64 expression is parenthesized in

@@ -795,3 +795,71 @@ def grouped_distinct_count(ds, group_col: str, distinct_col: str):
     for c in ("n_rows", "n_distinct"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def global_rank(ds, value_col: str, id_col: str, num_buckets: int = 1024):
+    """Dense global ROW_NUMBER over (value_col, id_col) order WITHOUT a
+    global sort — the distributed ranking behind "take the p-th
+    percentile document" / curriculum ordering.
+
+    Topology (same distributed-prefix-sum shape as
+    ``text.pack_sequences``): one min/max pass bounds the value domain,
+    rows bucket into ``num_buckets`` value RANGES, the per-bucket row
+    counts (a bucket-sized table) prefix-sum on the driver into base
+    ranks, and one ``partitioned_group_map`` on the bucket emits
+    ``base[bucket] + local position`` after an in-partition sort by
+    (value, id). Ranks are 1-based, bit-identical to SQL
+    ``ROW_NUMBER() OVER (ORDER BY value, id)`` at any partitioning.
+
+    Equal-width value ranges skew with the value distribution; a
+    production variant samples quantile boundaries instead (the fold is
+    unchanged). Ties across buckets cannot happen: a value lands in
+    exactly one range.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Max, Min
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    bounds = ds.aggregate(Min(value_col), Max(value_col))
+    lo = int(bounds[f"min({value_col})"])
+    hi = int(bounds[f"max({value_col})"])
+    span = max(hi - lo + 1, 1)
+    nb = min(num_buckets, span)
+    width = -(-span // nb)  # ceil
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col], dtype=np.int64)
+        return batch.append_column(
+            "bucket", pa.array((v - lo) // width, pa.int64()))
+
+    with_bucket = ds.map_batches(
+        add_bucket, batch_format="pyarrow").materialize()
+
+    sizes = with_bucket.groupby("bucket").count().take_all()
+    sizes.sort(key=lambda r: r["bucket"])
+    base = np.zeros(nb, dtype=np.int64)
+    acc = 0
+    for row in sizes:
+        base[int(row["bucket"])] = acc
+        acc += int(row["count()"])
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["bucket", value_col, id_col], kind="mergesort")
+        b = part["bucket"].to_numpy(dtype=np.int64)
+        starts = np.ones(len(b), dtype=bool)
+        starts[1:] = b[1:] != b[:-1]
+        seg_start = np.flatnonzero(starts)
+        seg_len = np.diff(np.append(seg_start, len(b)))
+        local = np.arange(len(b), dtype=np.int64) - np.repeat(
+            seg_start, seg_len)
+        return pd.DataFrame({
+            id_col: part[id_col].to_numpy(dtype=np.int64),
+            value_col: part[value_col].to_numpy(dtype=np.int64),
+            "rnk": base[b] + local + 1,
+        })
+
+    return partitioned_group_map(with_bucket, ["bucket"], fold)

@@ -734,3 +734,39 @@ class TestGroupedDistinctCount:
         assert (d1["n_rows"], d1["n_distinct"]) == (4, 2)
         d2 = got[got["day"] == 2].iloc[0]
         assert (d2["n_rows"], d2["n_distinct"]) == (2, 1)
+
+
+class TestGlobalRank:
+    def test_matches_row_number_with_ties(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import global_rank
+
+        rng = np.random.default_rng(5)
+        # heavy ties + skew: values cluster so single buckets hold many rows
+        df = pd.DataFrame({
+            "id": np.arange(400, dtype=np.int64),
+            "v": rng.choice([3, 3, 3, 7, 100], size=400).astype(np.int64),
+        })
+        got = (global_rank(rd.from_pandas(df).repartition(5), "v", "id",
+                           num_buckets=8)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            "SELECT id, ROW_NUMBER() OVER (ORDER BY v, id) AS rnk FROM t"
+            " ORDER BY id").df()
+        assert got["rnk"].astype("int64").tolist() == \
+            want["rnk"].astype("int64").tolist()
+
+    def test_single_value_domain(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import global_rank
+
+        df = pd.DataFrame({"id": [5, 2, 9], "v": [1, 1, 1]})
+        got = (global_rank(rd.from_pandas(df), "v", "id")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        # all values equal → rank is id order
+        assert dict(zip(got["id"], got["rnk"])) == {2: 1, 5: 2, 9: 3}
