@@ -2940,6 +2940,49 @@ def q_events_daily_users(sf_dir: str):
     return df.sort_values("day").reset_index(drop=True)
 
 
+def q_quality_weighted_sample(sf_dir: str):
+    """Quality-weighted downsampling (CCNet/RedPajama bucket-sampling
+    shape): keep a doc with probability proportional to its quality
+    weight (here n_chars/600), decided by a DETERMINISTIC per-doc
+    uniform u = splitmix-style golden-ratio hash / 2^64 — the same rows
+    survive on any engine, any partitioning. Zero-shuffle Arrow filter;
+    the uint64 wrap, the power-of-two division and the weight division
+    are each single IEEE ops, so the SQL mirror is bit-exact."""
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    mult = np.uint64(0x9E3779B97F4A7C15)  # 11400714819323198485
+
+    def filt(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = d * mult  # wraps mod 2^64; spreads small ids over the range
+        u = h.astype(np.float64) / 18446744073709551616.0
+        w = batch["n_chars"].to_numpy(
+            zero_copy_only=False).astype(np.float64) / 600.0
+        return batch.filter(pa.array(u < w))
+
+    df = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+    for c in ("doc_id", "n_chars"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_hll_users_estimate(sf_dir: str):
+    """Approximate distinct users per event_type via the mergeable HLL
+    sketch (p=12, ~1.6% typical error) — the cardinality path whose
+    exchange is O(groups × batches) registers instead of ∝ distinct
+    values (grouped_distinct_count / events_daily_users is the exact
+    twin). Deterministic registers → rows-only driver check; accuracy
+    and merge-invariance are pytest-gated."""
+    from matrixprofile_ray.stages.relational import hll_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    df = hll_distinct(ds, "event_type", "user_id", p=12)
+    df["est"] = df["est"].astype("int64")
+    return df
+
+
 def q_doc_rank_by_len(sf_dir: str):
     """Global ROW_NUMBER over (n_chars, doc_id) without a global sort —
     distributed prefix-sum ranking (curriculum-ordering shape)."""
@@ -3042,6 +3085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dup_groups": q_prefix_dup_groups,
         "events_daily_users": q_events_daily_users,
         "doc_rank_by_len": q_doc_rank_by_len,
+        "quality_weighted_sample": q_quality_weighted_sample,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -3067,6 +3111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_pages_1d": q_flagship_pages_1d,
         "giant_mpx": q_giant_mpx,
         "streaming_stampi_w24": q_streaming_stampi_w24,
+        "hll_users_estimate": q_hll_users_estimate,
     }
 
 
@@ -4559,6 +4604,20 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)::BIGINT
                        AS rnk
             FROM documents ORDER BY doc_id
+        """,
+        # Deterministic quality-weighted sample: uniform = golden-ratio
+        # hash (uint64 wrap) / 2^64; keep iff uniform < n_chars/600.
+        # Single IEEE ops on both sides → bit-exact row membership.
+        "quality_weighted_sample": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       CAST((doc_id::HUGEINT * 11400714819323198485)
+                            % 18446744073709551616 AS DOUBLE)
+                       / 18446744073709551616.0 AS u
+                FROM documents
+            )
+            WHERE u < n_chars / 600.0
+            ORDER BY doc_id
         """,
         # Brute-force z-normalized Euclidean matrix profile, w=4, self-join
         # ez = ceil(w/4) = 1. Every float64 expression is parenthesized in

@@ -863,3 +863,85 @@ def global_rank(ds, value_col: str, id_col: str, num_buckets: int = 1024):
         })
 
     return partitioned_group_map(with_bucket, ["bucket"], fold)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain constants) — full
+    avalanche over uint64, the per-value hash of the HLL sketch."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def hll_distinct(ds, group_col: str, distinct_col: str, p: int = 12):
+    """Approximate per-group distinct count via a MERGEABLE HyperLogLog
+    sketch (Flajolet et al. 2007) — the 100-TB path where
+    :func:`grouped_distinct_count`'s value-hash exchange (∝ distinct
+    values) is too wide: the exchange here is O(groups × batches)
+    rows of 2^p register bytes, independent of cardinality.
+
+    Per batch: one splitmix64 pass, register index = top p hash bits,
+    rank = leading-zero count of the low bits + 1 (vectorized via
+    ``np.frexp`` — the low 64−p bits fit a double exactly for p ≥ 12),
+    per-group register max via ``np.maximum.at``. Partials merge by
+    ELEMENTWISE MAX (associative + idempotent → any partitioning gives
+    identical registers; the hash is seed-fixed so the estimate is
+    deterministic). Standard bias correction + linear-counting
+    small-range fallback. Relative error ≈ 1.04/sqrt(2^p) (~1.6% at
+    p=12).
+
+    Returns pandas (group_col, est) sorted by group.
+    """
+    import pandas as pd
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    m = 1 << p
+    shift = np.uint64(64 - p)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[distinct_col].to_numpy()
+        h = _splitmix64(vals.astype(np.uint64))
+        idx = (h >> shift).astype(np.int64)
+        rest = (h & ((np.uint64(1) << shift) - np.uint64(1))).astype(
+            np.float64)
+        # bit_length via frexp: rest < 2^(64-p) <= 2^52 is double-exact
+        _, exp = np.frexp(rest)
+        rank = (int(shift) - exp + 1).astype(np.uint8)  # rest=0 → 64-p+1
+        groups, ginv = np.unique(batch[group_col].to_numpy(),
+                                 return_inverse=True)
+        regs = np.zeros((len(groups), m), dtype=np.uint8)
+        np.maximum.at(regs, (ginv, idx), rank)
+        return pd.DataFrame({
+            group_col: groups,
+            "regs": [r.tobytes() for r in regs],  # one row per group
+        })
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_e = [], []
+        for g, rows in part.groupby(group_col, sort=False):
+            regs = np.frombuffer(
+                b"".join(rows["regs"]), dtype=np.uint8
+            ).reshape(len(rows), m).max(axis=0)
+            est = _hll_estimate(regs, m)
+            out_g.append(g)
+            out_e.append(est)
+        return pd.DataFrame({group_col: out_g, "est": out_e})
+
+    out = partitioned_group_map(partials, [group_col], fold).to_pandas()
+    out["est"] = out["est"].astype(np.int64)
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def _hll_estimate(regs: np.ndarray, m: int) -> int:
+    """Bias-corrected HLL estimate with the linear-counting fallback."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)  # small-range linear counting
+    return int(round(e))

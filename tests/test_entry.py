@@ -188,3 +188,17 @@ class TestGeneralizedMirrorHelpers:
         fmp = np.asarray(prof["mp"], dtype="d")[idx]
         assert np.isfinite(fmp).all()
         np.testing.assert_allclose(_round6_away_arr(fmp), mp, atol=5e-6)
+
+
+class TestDriverPrefixInvariant:
+    def test_first_50_queries_all_oracle_backed(self):
+        """The driver's correctness gate samples exactly the FIRST 50
+        entries of queries() in dict order — every one of them must have
+        an oracle_sql() entry or a driver slot is wasted on a weaker
+        rows-only check."""
+        import __ray_entry__ as e
+
+        names = list(e.queries())
+        oracles = set(e.oracle_sql())
+        missing = [n for n in names[:50] if n not in oracles]
+        assert missing == [], f"non-oracle queries inside the prefix: {missing}"

@@ -770,3 +770,40 @@ class TestGlobalRank:
                .to_pandas().sort_values("id").reset_index(drop=True))
         # all values equal → rank is id order
         assert dict(zip(got["id"], got["rnk"])) == {2: 1, 5: 2, 9: 3}
+
+
+class TestHllDistinct:
+    def test_accuracy_and_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import hll_distinct
+
+        rng = np.random.default_rng(13)
+        # group a: 20k distinct over 60k rows; b: 3k distinct; c: 10
+        rows = pd.DataFrame({
+            "g": np.repeat(["a", "b", "c"], [60_000, 9_000, 50]),
+            "u": np.concatenate([
+                rng.integers(0, 20_000, 60_000),
+                1_000_000 + rng.integers(0, 3_000, 9_000),
+                2_000_000 + rng.integers(0, 10, 50),
+            ]).astype(np.int64),
+        })
+        truth = rows.groupby("g")["u"].nunique()
+        est1 = hll_distinct(rd.from_pandas(rows).repartition(4), "g", "u")
+        est2 = hll_distinct(rd.from_pandas(rows).repartition(13), "g", "u")
+        # registers merge by max → estimate independent of partitioning
+        assert est1["est"].tolist() == est2["est"].tolist()
+        for g, want in truth.items():
+            got = int(est1[est1["g"] == g]["est"].iloc[0])
+            tol = 0.05 if want > 100 else 0.2  # ~1.6% typical at p=12
+            assert abs(got - want) <= max(2, tol * want), (g, got, want)
+
+    def test_small_range_linear_counting_near_exact(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import hll_distinct
+
+        rows = pd.DataFrame({"g": ["x"] * 100,
+                             "u": np.arange(100, dtype=np.int64) % 10})
+        est = hll_distinct(rd.from_pandas(rows), "g", "u")
+        assert int(est["est"].iloc[0]) == 10  # linear counting regime
