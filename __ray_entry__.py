@@ -4591,9 +4591,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY prefix
         """,
         # Daily-active-users: exact per-UTC-day event and distinct-user
-        # counts; day = integer division of the epoch microseconds.
+        # counts. day = FLOOR division of epoch microseconds: numpy //
+        # floors while DuckDB // truncates toward zero, so the SQL
+        # subtracts 1 when a negative dividend leaves a remainder —
+        # exact-integer floor on both sides even for pre-1970 rows.
         "events_daily_users": """
-            SELECT epoch_us(ts) // 86400000000 AS day,
+            SELECT (epoch_us(ts) // 86400000000)
+                   - CASE WHEN epoch_us(ts) % 86400000000 < 0
+                          THEN 1 ELSE 0 END AS day,
                    COUNT(*)::BIGINT AS n_events,
                    COUNT(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1 ORDER BY 1

@@ -124,6 +124,14 @@ def _batch_shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
         n = len(texts)
         if n == 0:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        if texts.null_count:
+            # the list path fails loudly on None (str.encode of None);
+            # a null's offsets look like an empty string here, which
+            # would SILENTLY give every null doc the all-spaces
+            # signature — keep failure loud instead
+            raise ValueError(
+                "_batch_shingle_hashes: text column contains nulls; "
+                "drop or fill them before dedup")
         off_dtype = (np.int64 if pa.types.is_large_string(texts.type)
                      else np.int32)
         offs = np.frombuffer(texts.buffers()[1], dtype=off_dtype)[
@@ -246,8 +254,8 @@ def _unpack_sig_binary(col, num_perm: int) -> np.ndarray:
     buffer IS the (n, num_perm) matrix and one zero-copy reshape reads
     it. (A fancy-index gather here built an int64 index matrix 8× the
     signature bytes per batch and measurably slowed the verify join;
-    don't reintroduce it.) Irregular layouts fall back to a linear
-    bytes join.
+    don't reintroduce it.) A row of any other length cannot be a packed
+    signature, so width mismatches raise instead of guessing.
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -257,14 +265,17 @@ def _unpack_sig_binary(col, num_perm: int) -> np.ndarray:
     width = num_perm * 8
     offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
         col.offset: col.offset + n + 1].astype(np.int64)
-    if (np.diff(offs) == width).all():
-        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-        seg = data[offs[0]: offs[-1]]
-        if seg.ctypes.data % 8:
-            seg = seg.copy()  # realign for the int64 view
-        return seg.view(np.int64).reshape(n, num_perm)
-    return np.frombuffer(
-        b"".join(col.to_pylist()), dtype=np.int64).reshape(n, num_perm)
+    lens = np.diff(offs)
+    if not (lens == width).all():
+        raise ValueError(
+            f"_unpack_sig_binary: expected fixed {width}-byte rows for "
+            f"num_perm={num_perm}, found lengths "
+            f"{np.unique(lens).tolist()[:5]}")
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    seg = data[offs[0]: offs[-1]]
+    if seg.ctypes.data % 8:
+        seg = seg.copy()  # realign for the int64 view
+    return seg.view(np.int64).reshape(n, num_perm)
 
 
 def minhash_signatures(

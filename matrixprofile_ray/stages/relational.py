@@ -824,6 +824,15 @@ def global_rank(ds, value_col: str, id_col: str, num_buckets: int = 1024):
     from matrixprofile_ray.util import partitioned_group_map
 
     bounds = ds.aggregate(Min(value_col), Max(value_col))
+    if bounds is None or bounds.get(f"min({value_col})") is None:
+        import ray.data as rd
+
+        # empty Arrow table keeps the schema (empty pandas would lose it)
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            value_col: pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64()),
+        }))
     lo = int(bounds[f"min({value_col})"])
     hi = int(bounds[f"max({value_col})"])
     span = max(hi - lo + 1, 1)

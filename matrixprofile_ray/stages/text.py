@@ -906,12 +906,17 @@ def chunk_documents(ds, size: int = 128, head: int = 8,
             sel = np.flatnonzero(lens > ci * size)
             if not len(sel):
                 break
+            # narrow to still-active docs BEFORE slicing: one finished
+            # long doc must not force re-slicing the whole column every
+            # iteration (O(n_docs × max_chunks) codepoint scans)
+            if len(sel) < len(lens):
+                text = text.take(pa.array(sel))
+                lens, ids = lens[sel], ids[sel]
             heads = pc.utf8_slice_codeunits(
-                text, start=ci * size, stop=ci * size + head).take(
-                pa.array(sel))
-            out_id.append(ids[sel])
+                text, start=ci * size, stop=ci * size + head)
+            out_id.append(ids)
             out_cid.append(np.full(len(sel), ci, dtype=np.int64))
-            out_len.append(np.minimum(size, lens[sel] - ci * size))
+            out_len.append(np.minimum(size, lens - ci * size))
             out_head.append(heads)
         if not out_id:
             return pa.table({
@@ -978,45 +983,26 @@ def vocab_stats(ds, group_col: str = "lang", text_col: str = "text"):
     ``group_col`` (type/token inventory — the corpus-level lexical
     diversity statistic).
 
-    Each batch pre-aggregates (group, token, cnt) in-batch, then ONE
-    hash-partition by token co-locates every occurrence of a token so
-    the distinct count is a local first-occurrence count — the exchange
-    is vocabulary-bounded. Per-partition partials (one row per group per
-    partition — O(groups × partitions), cluster-sized) fold on the
-    driver. All-integer output sorted by group.
+    One tokenize explode, then the shared exact-distinct topology of
+    :func:`matrixprofile_ray.stages.relational.grouped_distinct_count`
+    (in-batch combine → ONE token-hash exchange → local first-occurrence
+    distinct). The explode fuses with the distinct-count partial in the
+    same Ray map chain, so raw token rows never cross an exchange.
+    All-integer output sorted by group.
     """
-    import pandas as pd
+    from matrixprofile_ray.stages.relational import grouped_distinct_count
 
-    from matrixprofile_ray.util import partitioned_group_map
-
-    def partial(batch: pa.Table) -> pa.Table:
+    def explode(batch: pa.Table) -> pa.Table:
         flat, doc_idx, lens = _split_words_flat(batch, text_col)
         groups = np.asarray(batch[group_col])[doc_idx]
-        cnt = pd.DataFrame({"g": groups, "tok": flat}).groupby(
-            ["g", "tok"], as_index=False).size()
         return pa.table({
-            "g": pa.array(cnt["g"], pa.string()),
-            "tok": pa.array(cnt["tok"], pa.string()),
-            "cnt": pa.array(cnt["size"].to_numpy(dtype=np.int64)),
+            group_col: pa.array(groups, pa.string()),
+            "tok": pa.array(flat, pa.string()),
         })
 
-    pairs = ds.map_batches(partial, batch_format="pyarrow")
-
-    def per_token_fold(part: pd.DataFrame) -> pd.DataFrame:
-        nt = part.groupby("g", as_index=False)["cnt"].sum().rename(
-            columns={"cnt": "n_tokens"})
-        nd = part.drop_duplicates(["g", "tok"]).groupby(
-            "g", as_index=False).size().rename(columns={"size": "n_distinct"})
-        return nt.merge(nd, on="g")
-
-    partials = partitioned_group_map(pairs, ["tok"], per_token_fold)
-    out = partials.to_pandas()  # O(groups × partitions) rows — bounded
-    out = out.groupby("g", as_index=False).agg(
-        n_tokens=("n_tokens", "sum"), n_distinct=("n_distinct", "sum"))
-    out = out.rename(columns={"g": group_col})
-    for c in ("n_tokens", "n_distinct"):
-        out[c] = out[c].astype(np.int64)
-    return out.sort_values(group_col).reset_index(drop=True)
+    toks = ds.map_batches(explode, batch_format="pyarrow")
+    out = grouped_distinct_count(toks, group_col, "tok")
+    return out.rename(columns={"n_rows": "n_tokens"})
 
 
 def rare_term_score(ds, id_col: str = "doc_id", text_col: str = "text",

@@ -1388,3 +1388,34 @@ class TestPrefixDupGroups:
         assert out.loc[0, "prefix"] == "TEMPLATE-A"
         assert out.loc[0, "n_docs"] == 3
         assert out.loc[0, "min_doc_id"] == 0
+
+
+class TestReviewRegressions:
+    def test_shingle_null_text_raises(self):
+        from matrixprofile_ray.stages.dedup import _batch_shingle_hashes
+
+        with pytest.raises(ValueError, match="nulls"):
+            _batch_shingle_hashes(
+                pa.array(["hello world", None, "abc"], pa.string()), 5)
+
+    def test_unpack_width_mismatch_raises(self):
+        from matrixprofile_ray.stages.dedup import _unpack_sig_binary
+
+        col = pa.array([b"12345678", b"1234"], pa.binary())
+        with pytest.raises(ValueError, match="fixed 8-byte"):
+            _unpack_sig_binary(col, 1)
+
+    def test_chunk_documents_narrowing_keeps_rows(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import chunk_documents
+
+        # one long doc + short docs: narrowing must not lose/duplicate rows
+        texts = ["L" * 1000, "ab", "c" * 128, "d" * 129]
+        df = (chunk_documents(rd.from_arrow(_docs(texts)), size=128, head=4)
+              .to_pandas().sort_values(["doc_id", "chunk_id"])
+              .reset_index(drop=True))
+        per_doc = df.groupby("doc_id")["chunk_len"].sum().to_dict()
+        assert per_doc == {0: 1000, 1: 2, 2: 128, 3: 129}
+        assert df[df["doc_id"] == 0]["chunk_id"].tolist() == list(range(8))
+        assert df[df["doc_id"] == 3]["chunk_len"].tolist() == [128, 1]

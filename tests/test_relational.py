@@ -807,3 +807,20 @@ class TestHllDistinct:
                              "u": np.arange(100, dtype=np.int64) % 10})
         est = hll_distinct(rd.from_pandas(rows), "g", "u")
         assert int(est["est"].iloc[0]) == 10  # linear counting regime
+
+
+class TestGlobalRankEmpty:
+    def test_empty_dataset_returns_empty(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import global_rank
+
+        empty = rd.from_pandas(pd.DataFrame({
+            "id": pd.Series(dtype="int64"),
+            "v": pd.Series(dtype="int64"),
+        }))
+        out = global_rank(empty, "v", "id")
+        # Ray's to_pandas() drops columns for 0-row datasets, so assert
+        # the schema on the Dataset itself
+        assert out.schema().names == ["id", "v", "rnk"]
+        assert len(out.to_pandas()) == 0
