@@ -37,8 +37,27 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _round_floats(df: pd.DataFrame, cols, decimals: int = 6) -> pd.DataFrame:
+    """ROUND(x, 6) with SQL half-away-from-zero semantics on every column
+    — every oracle rounds with DuckDB ROUND, and np.round's half-to-even
+    flips exact-half boundary rows (observed on rollup_1h means at
+    sf0.1), so the engine side must use the same rule."""
+    from matrixprofile_ray.stages.relational import _round6_away
+
+    assert decimals == 6, "oracles round at 6; _round6_away is fixed there"
     for c in cols:
-        df[c] = np.round(df[c].astype("float64"), decimals)
+        df[c] = _round6_away(df[c].to_numpy(dtype="float64"))
+    return df
+
+
+def _mu_rollup_cols(df: pd.DataFrame) -> pd.DataFrame:
+    """Replace the float sum/mean of a rollup frame with the exact
+    micro-unit derivation (sum_mu/1e6, then /count) so the values are
+    partitioning-independent, then drop the helper column. The division
+    order mirrors the oracle SQL expression exactly."""
+    mu = df.pop("sum_mu").to_numpy(dtype=np.int64)
+    sv = mu.astype(np.float64) / 1e6
+    df["sum_value"] = sv
+    df["mean_value"] = sv / df["count"].to_numpy(dtype=np.float64)
     return df
 
 
@@ -55,7 +74,7 @@ def _rollup(sf_dir: str, bucket_us: int) -> pd.DataFrame:
     from matrixprofile_ray.pipelines.timeseries import rollup_events
 
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
-    df = rollup_events(ds, bucket_us).to_pandas()
+    df = _mu_rollup_cols(rollup_events(ds, bucket_us).to_pandas())
     return _round_floats(df, ["sum_value", "min_value", "max_value", "mean_value"])
 
 
@@ -74,7 +93,7 @@ def q_rollup_7d_cascade(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
     partials_1d = rollup_events(ds, D1, keep_partials=True)
-    df = cascade_events(partials_1d, D7).to_pandas()
+    df = _mu_rollup_cols(cascade_events(partials_1d, D7).to_pandas())
     return _round_floats(df, ["sum_value", "min_value", "max_value", "mean_value"])
 
 
@@ -83,10 +102,12 @@ def _rollup_sql(bucket_us: int) -> str:
         SELECT event_type,
                (epoch_us(ts) // {bucket_us}) * {bucket_us} AS bucket_ts,
                count(*) AS count,
-               ROUND(sum(value), 6) AS sum_value,
+               ROUND(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+                     / 1000000.0, 6) AS sum_value,
                ROUND(min(value), 6) AS min_value,
                ROUND(max(value), 6) AS max_value,
-               ROUND(avg(value), 6) AS mean_value
+               ROUND((SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+                      / 1000000.0) / count(*), 6) AS mean_value
         FROM events GROUP BY 1, 2
     """
 
@@ -96,7 +117,7 @@ def q_rollup_user_1d(sf_dir: str):
     from matrixprofile_ray.pipelines.timeseries import rollup_events
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
-    df = rollup_events(ds, D1, key="user_id").to_pandas()
+    df = _mu_rollup_cols(rollup_events(ds, D1, key="user_id").to_pandas())
     df["user_id"] = df["user_id"].astype("int64")
     return _round_floats(df, ["sum_value", "min_value", "max_value", "mean_value"])
 
@@ -109,10 +130,10 @@ def q_rollup_lineitem_1d(sf_dir: str):
         sf_dir, "lineitem",
         columns=["l_returnflag", "l_shipdate", "l_quantity"],
     )
-    df = rollup_events(
+    df = _mu_rollup_cols(rollup_events(
         ds, D1, key="l_returnflag", ts_col="l_shipdate",
         value_col="l_quantity",
-    ).to_pandas()
+    ).to_pandas())
     return _round_floats(df, ["sum_value", "min_value", "max_value", "mean_value"])
 
 
@@ -3651,20 +3672,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    (epoch_us(ts) // {D1}) * {D1} AS bucket_ts,
                    count(*) AS count,
-                   ROUND(sum(value), 6) AS sum_value,
+                   ROUND(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+                         / 1000000.0, 6) AS sum_value,
                    ROUND(min(value), 6) AS min_value,
                    ROUND(max(value), 6) AS max_value,
-                   ROUND(avg(value), 6) AS mean_value
+                   ROUND((SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+                          / 1000000.0) / count(*), 6) AS mean_value
             FROM events GROUP BY 1, 2
         """,
         "rollup_lineitem_1d": f"""
             SELECT l_returnflag,
                    (epoch_us(l_shipdate) // {D1}) * {D1} AS bucket_ts,
                    count(*) AS count,
-                   ROUND(sum(l_quantity), 6) AS sum_value,
+                   ROUND(SUM(CAST(ROUND(l_quantity * 1000000, 0) AS BIGINT))
+                         / 1000000.0, 6) AS sum_value,
                    ROUND(min(l_quantity), 6) AS min_value,
                    ROUND(max(l_quantity), 6) AS max_value,
-                   ROUND(avg(l_quantity), 6) AS mean_value
+                   ROUND((SUM(CAST(ROUND(l_quantity * 1000000, 0) AS BIGINT))
+                          / 1000000.0) / count(*), 6) AS mean_value
             FROM lineitem GROUP BY 1, 2
         """,
         "events_topk": """

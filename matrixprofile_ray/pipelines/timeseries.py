@@ -27,23 +27,39 @@ __all__ = [
     "discover_series",
 ]
 
-_PARTIALS = ["count", "sum_value", "sum_sq_value", "min_value", "max_value"]
+_PARTIALS = ["count", "sum_value", "sum_sq_value", "min_value", "max_value",
+             "sum_mu"]
 
 
 def _partial(batch: pa.Table, key: str, ts_col: str, value_col: str,
              bucket_us: int) -> pa.Table:
-    """Within-batch combiner: one partial row per (key, bucket)."""
+    """Within-batch combiner: one partial row per (key, bucket).
+
+    ``sum_mu`` carries the value sum in EXACT integer micro-units
+    (round-half-away(value·1e6), summed as int64) alongside the float
+    moments: int sums are order-independent, so sum/mean derived from
+    ``sum_mu`` hash-match a sequential SQL oracle under ANY partitioning
+    — a float sum differs in ulps whenever a bucket splits across
+    blocks, which flips ROUND(·, 6) on exact-half boundary rows
+    (observed: 2/3600 buckets at sf0.1). Bound: |value| ≤ 9.2e12·1e-6
+    per row and ~9e15 µ-units per bucket stay exact in int64/double.
+    """
+    from matrixprofile_ray.stages.relational import _mu_int64
+
     ts = pc.cast(batch[ts_col], pa.int64())
     bucket = pc.multiply(pc.divide(ts, bucket_us), bucket_us)
     val = pc.cast(batch[value_col], pa.float64())
+    mu = _mu_int64(np.asarray(val, dtype="d"))
     tbl = pa.table({
         "key": batch[key],
         "bucket_ts": bucket,
         "v": val,
         "v2": pc.multiply(val, val),
+        "mu": pa.array(mu, pa.int64()),
     })
     agg = tbl.group_by(["key", "bucket_ts"]).aggregate(
-        [("v", "count"), ("v", "sum"), ("v2", "sum"), ("v", "min"), ("v", "max")]
+        [("v", "count"), ("v", "sum"), ("v2", "sum"), ("v", "min"),
+         ("v", "max"), ("mu", "sum")]
     )
     return agg.rename_columns(["key", "bucket_ts"] + _PARTIALS)
 
@@ -62,6 +78,7 @@ def _merge_partials(partials_ds, keys: list[str]):
             sum_sq_value=("sum_sq_value", "sum"),
             min_value=("min_value", "min"),
             max_value=("max_value", "max"),
+            sum_mu=("sum_mu", "sum"),
         )
 
     return partitioned_group_map(partials_ds, keys, fold)
@@ -79,6 +96,9 @@ def _finalize(batch: pa.Table, key_out: str) -> pa.Table:
         "min_value": batch["min_value"],
         "max_value": batch["max_value"],
         "mean_value": pa.array(mean, pa.float64()),
+        # exact integer micro-unit sum (see _partial): hash-gated queries
+        # derive sum/mean from this; series consumers keep mean_value
+        "sum_mu": pc.cast(batch["sum_mu"], pa.int64()),
     })
     return out
 
