@@ -192,11 +192,11 @@ def q_stats_events(sf_dir: str):
         return pd.DataFrame({
             "event_type": [group["event_type"].iloc[0]],
             "n": [len(v)],
-            "min_value": [round(float(v.min()), 6)],
-            "max_value": [round(float(v.max()), 6)],
-            "mean_value": [round(float(v.mean()), 6)],
-            "std_value": [round(float(v.std()), 6)],
-            "median_value": [round(float(np.median(v)), 6)],
+            "min_value": [float(_round6_away_arr(v.min()))],
+            "max_value": [float(_round6_away_arr(v.max()))],
+            "mean_value": [float(_round6_away_arr(v.mean()))],
+            "std_value": [float(_round6_away_arr(v.std()))],
+            "median_value": [float(_round6_away_arr(np.median(v)))],
         })
 
     return ds.groupby("event_type").map_groups(stats, batch_format="pandas")
@@ -1273,7 +1273,7 @@ def q_asof_join(sf_dir: str):
     })
     for c in ("user_id", "event_ts", "last_order_ts"):
         out[c] = out[c].astype("int64")
-    out["last_order_totalprice"] = np.round(out["last_order_totalprice"], 6)
+    out["last_order_totalprice"] = _round6_away_arr(out["last_order_totalprice"])
     return out.sort_values(["user_id", "event_ts"]).reset_index(drop=True)
 
 
@@ -1298,7 +1298,7 @@ def q_moving_avg_1h(sf_dir: str):
         return pd.DataFrame({
             "event_type": g["event_type"].iloc[0],
             "bucket_ts": g["bucket_ts"].to_numpy()[3:].astype("int64"),
-            "ma4": np.round(moving_average(c, 4), 6),
+            "ma4": _round6_away_arr(moving_average(c, 4)),
         })
 
     def ma_partition(part: pd.DataFrame) -> pd.DataFrame:
@@ -1343,9 +1343,9 @@ def q_moving_minmax_1h(sf_dir: str):
         return pd.DataFrame({
             "event_type": g["event_type"].iloc[0],
             "bucket_ts": g["bucket_ts"].to_numpy()[3:].astype("int64"),
-            "mmin4": np.round(moving_min(c, 4), 6),
-            "mmax4": np.round(moving_max(c, 4), 6),
-            "mmed4": np.round(moving_median(c, 4), 6),
+            "mmin4": _round6_away_arr(moving_min(c, 4)),
+            "mmax4": _round6_away_arr(moving_max(c, 4)),
+            "mmed4": _round6_away_arr(moving_median(c, 4)),
         })
 
     def mm_partition(part: pd.DataFrame) -> pd.DataFrame:
