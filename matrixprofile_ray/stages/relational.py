@@ -154,9 +154,18 @@ def _mu_int64(x: np.ndarray, scale: float = 1e6) -> np.ndarray:
     ``np.round`` is half-to-even). Summing these integers is
     order-independent, so parallel partial sums hash-match a sequential
     oracle at any scale — the same exact-integer-units trick as the
-    segment-join revenue fix."""
+    segment-join revenue fix.
+
+    Half detection compares ``abs(s) - floor(abs(s)) >= 0.5`` (that
+    subtraction is exact for doubles) instead of ``floor(abs(s) + 0.5)``:
+    the +0.5 addition itself rounds, pushing inputs one ulp below a half
+    boundary (s = 0.49999999999999994) UP to 1 where SQL ROUND yields 0.
+    """
     s = x * scale
-    return np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64)
+    a = np.abs(s)
+    f = np.floor(a)
+    f = f + (a - f >= 0.5)
+    return np.copysign(f, s).astype(np.int64)
 
 
 def windowed_lag_stats(ds, key_col: str, ts_col: str, value_col: str,
@@ -823,6 +832,17 @@ def global_rank(ds, value_col: str, id_col: str, num_buckets: int = 1024):
 
     from matrixprofile_ray.util import partitioned_group_map
 
+    # int-only contract: the bucket arithmetic and the fold both cast to
+    # int64, which would silently truncate floats into wrong ranks
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    for col in (value_col, id_col):
+        typ = types[col]
+        if not pa.types.is_integer(typ):
+            raise ValueError(
+                f"global_rank requires integer columns; {col!r} is {typ}"
+            )
+
     bounds = ds.aggregate(Min(value_col), Max(value_col))
     if bounds is None or bounds.get(f"min({value_col})") is None:
         import ray.data as rd
@@ -906,6 +926,11 @@ def hll_distinct(ds, group_col: str, distinct_col: str, p: int = 12):
     import pandas as pd
 
     from matrixprofile_ray.util import partitioned_group_map
+
+    # the frexp rank trick needs the low 64-p bits to fit a double's
+    # 52-bit mantissa exactly; >18 wastes registers for no accuracy gain
+    if p < 12 or p > 18:
+        raise ValueError(f"hll_distinct requires 12 <= p <= 18, got {p}")
 
     m = 1 << p
     shift = np.uint64(64 - p)

@@ -1058,6 +1058,20 @@ def rare_term_score(ds, id_col: str = "doc_id", text_col: str = "text",
         ids = np.asarray(batch[id_col]).astype(np.int64)
         n = batch.num_rows
         pos = np.searchsorted(toks, flat)
+        # vocabulary-mismatch guard: the df pass and this scoring pass must
+        # see the same corpus; a token absent from `toks` would otherwise
+        # read a neighbor's df (or IndexError at pos == len(toks))
+        if len(flat):
+            if len(toks) == 0:
+                raise ValueError(
+                    "rare_term_score: empty df-pass vocabulary but "
+                    "non-empty scoring batch")
+            pos = np.minimum(pos, len(toks) - 1)
+            if not np.array_equal(toks[pos], flat):
+                raise ValueError(
+                    "rare_term_score: token absent from the df-pass "
+                    "vocabulary — the scoring dataset must be the "
+                    "df-pass dataset")
         dfv = dfs[pos]
         sum_df = np.bincount(
             doc_idx, weights=dfv.astype(np.float64), minlength=n

@@ -9,7 +9,26 @@ __all__ = [
     "partitioned_group_map",
     "safe_materialize",
     "scrub_empty_blocks",
+    "shuffle_partitions",
 ]
+
+
+def shuffle_partitions(default: int | None = None) -> int | None:
+    """Cluster-sizing knob for every wide exchange in the engine.
+
+    ``GRAFT_SHUFFLE_PARTS``, when set, overrides the partition count used
+    by :func:`ensure_hash_shuffle`, :func:`partitioned_group_map` and the
+    dedup/minhash joins. The in-repo defaults are tuned on ONE 32-CPU box
+    (hash-shuffle map tasks pay a push per source-block × partition slice,
+    so small clusters want FEW partitions); a multi-node run should set
+    this to ~2× total cluster cores so it doesn't inherit single-box
+    tuning. Returns ``default`` (which may be None = "use the local
+    heuristic") when the variable is unset.
+    """
+    val = os.environ.get("GRAFT_SHUFFLE_PARTS")
+    if val:
+        return max(1, int(val))
+    return default
 
 
 def _hash_shuffle_active() -> bool:
@@ -114,8 +133,8 @@ def ensure_hash_shuffle(parallelism_mult: int = 2) -> None:
             return
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
-        ctx.default_hash_shuffle_parallelism = max(
-            16, cpus * parallelism_mult
+        ctx.default_hash_shuffle_parallelism = shuffle_partitions(
+            max(16, cpus * parallelism_mult)
         )
         # aggregator actors must not reserve whole CPUs away from the
         # profile/discovery pools
@@ -172,6 +191,8 @@ def partitioned_group_map(
     import numpy as np
     import pandas as pd
 
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
     if num_partitions is None:
         try:
             import ray
