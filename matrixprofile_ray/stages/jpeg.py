@@ -5,8 +5,11 @@ item 9): ``DecodeStage(fake=False)`` can now really decode ``image/jpeg``
 payloads with no codec library. Spec scope (ITU-T T.81 baseline):
 
 - sequential DCT, 8-bit precision, Huffman entropy coding
-- 3-component YCbCr with 4:4:4 sampling (no subsampling) or 1-component
-  grayscale; JFIF color transform
+- 3-component YCbCr with 4:4:4 or 4:2:0 sampling (the decoder accepts
+  any per-component sampling factors in {1,2} — 4:2:2 / 4:4:0 streams
+  decode too; real-web corpora are overwhelmingly 4:2:0) or 1-component
+  grayscale; JFIF color transform; chroma downsample is a 2x2 box mean,
+  upsample is pixel replication (both deterministic)
 - the DECODER is generic over the tables carried in the stream (DQT/DHT
   are parsed, not assumed), handles 0xFF00 byte stuffing, and crops the
   8-multiple padding back to the SOF dimensions
@@ -212,8 +215,55 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
-    """(H, W, 3) uint8 RGB or (H, W) uint8 grayscale → baseline JPEG."""
+def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: list[int],
+                  ci: int) -> None:
+    """Huffman-encode one zigzagged 64-coefficient block."""
+    diff = int(zz[0]) - prev_dc[ci]
+    prev_dc[ci] = int(zz[0])
+    size = _bit_size(diff)
+    code, clen = _DC_ENC[size]
+    bw.write(code, clen)
+    if size:
+        bw.write(_amplitude(diff, size), size)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, clen = _AC_ENC[0xF0]       # ZRL
+            bw.write(code, clen)
+            run -= 16
+        size = _bit_size(v)
+        code, clen = _AC_ENC[(run << 4) | size]
+        bw.write(code, clen)
+        bw.write(_amplitude(v, size), size)
+        run = 0
+    if last < 63:
+        code, clen = _AC_ENC[0x00]           # EOB
+        bw.write(code, clen)
+
+
+def _pad_plane(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-pad a plane up to (ph, pw)."""
+    h, w = plane.shape
+    out = np.empty((ph, pw))
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1:, :]
+    out[:, w:] = out[:, w - 1: w]
+    return out
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85,
+                subsampling: str = "444") -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W) uint8 grayscale → baseline JPEG.
+
+    ``subsampling``: "444" (one block per component per MCU) or "420"
+    (2x2 luma blocks + one Cb + one Cr per 16x16 MCU; chroma planes are
+    2x2 box means — the dominant layout of real web imagery)."""
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     if gray:
@@ -221,24 +271,35 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     h, w, ncomp = pixels.shape
     if ncomp not in (1, 3):
         raise ValueError("encode_jpeg expects 1 or 3 channels")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = subsampling == "420" and ncomp == 3
 
     planes = (pixels[..., 0].astype(np.float64)[..., None]
               if ncomp == 1 else _rgb_to_ycbcr(pixels.astype(np.float64)))
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     qtables = [_quality_scale(_QUANT_LUMA, quality),
                _quality_scale(_QUANT_CHROMA, quality)]
 
-    comp_coeffs = []
+    mcu_px = 16 if sub420 else 8
+    ph, pw = -(-h // mcu_px) * mcu_px, -(-w // mcu_px) * mcu_px
+    comp_planes = []
     for ci in range(ncomp):
-        plane = np.empty((ph, pw))
-        plane[:h, :w] = planes[..., ci]
-        plane[h:, :w] = planes[h - 1 :, :w, ci]      # edge-pad rows
-        plane[:, w:] = plane[:, w - 1 : w]           # edge-pad cols
+        plane = _pad_plane(planes[..., ci], ph, pw)
+        if sub420 and ci > 0:
+            # 2x2 box mean; padded dims are 16-multiples so the chroma
+            # plane is an 8-multiple automatically
+            plane = plane.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        comp_planes.append(plane)
+
+    comp_coeffs = []
+    comp_bw = []                   # component block-grid widths
+    for ci, plane in enumerate(comp_planes):
         blocks = _to_blocks(plane - 128.0)
         dct = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
         q = qtables[0 if ci == 0 else 1]
         coeffs = np.round(dct / q).astype(np.int64)
         comp_coeffs.append(coeffs.reshape(-1, 64)[:, _ZIGZAG])
+        comp_bw.append(plane.shape[1] // 8)
 
     # ---- headers
     out = bytearray(b"\xff\xd8")                     # SOI
@@ -249,7 +310,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     sof = bytearray([8])                             # precision
     sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])   # 1x1 sampling
+        samp = 0x22 if (sub420 and ci == 0) else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += _seg(0xC0, bytes(sof))
     for tclass_tid, (bits, vals) in {
         (0, 0): (_DC_BITS, _DC_VALS), (1, 0): (_AC_BITS, _AC_VALS),
@@ -267,40 +329,24 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, bytes(sos))
 
-    # ---- entropy-coded segment: MCU = one block per component (4:4:4)
+    # ---- entropy-coded segment, MCU-interleaved per T.81 A.2.3:
+    # each MCU carries hs x vs blocks per component in raster order
     bw = _BitWriter()
     prev_dc = [0] * ncomp
-    n_mcu = comp_coeffs[0].shape[0]
-    for m in range(n_mcu):
-        for ci in range(ncomp):
-            zz = comp_coeffs[ci][m]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            size = _bit_size(diff)
-            code, clen = _DC_ENC[size]
-            bw.write(code, clen)
-            if size:
-                bw.write(_amplitude(diff, size), size)
-            run = 0
-            nz = np.flatnonzero(zz[1:])
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, clen = _AC_ENC[0xF0]       # ZRL
-                    bw.write(code, clen)
-                    run -= 16
-                size = _bit_size(v)
-                code, clen = _AC_ENC[(run << 4) | size]
-                bw.write(code, clen)
-                bw.write(_amplitude(v, size), size)
-                run = 0
-            if last < 63:
-                code, clen = _AC_ENC[0x00]           # EOB
-                bw.write(code, clen)
+    if sub420:
+        mcux, mcuy = pw // 16, ph // 16
+        samps = [(2, 2), (1, 1), (1, 1)]
+    else:
+        mcux, mcuy = pw // 8, ph // 8
+        samps = [(1, 1)] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hs, vs = samps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        bi = (my * vs + by) * comp_bw[ci] + (mx * hs + bx)
+                        _encode_block(bw, comp_coeffs[ci][bi], prev_dc, ci)
     out += bw.flush()
     out += b"\xff\xd9"                               # EOI
     return bytes(out)
@@ -335,9 +381,10 @@ class _HuffTable:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG → (H, W, 3) uint8 RGB (or (H, W) for grayscale).
 
-    Supports what encode_jpeg emits plus any baseline stream with 1x1
-    sampling per component (4:4:4 / grayscale), 8-bit, no progressive, no
-    restart markers."""
+    Supports what encode_jpeg emits plus any baseline stream whose
+    per-component sampling factors are in {1, 2} — 4:4:4, 4:2:0, 4:2:2,
+    4:4:0 and grayscale; 8-bit, no progressive, no restart markers.
+    Subsampled chroma is upsampled by pixel replication."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -373,9 +420,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             nc = seg[5]
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampling not supported")
-                comps.append({"id": cid, "tq": tq})
+                hs, vs = samp >> 4, samp & 0xF
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hs}x{vs} (only 1-2 supported)")
+                comps.append({"id": cid, "tq": tq, "hs": hs, "vs": vs})
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG")
@@ -402,44 +451,61 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         pos += ln
 
-    # ---- entropy decode
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    n_mcu = (ph // 8) * (pw // 8)
+    # ---- entropy decode (MCU-interleaved, T.81 A.2.3)
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-scan-component block grid (padded to whole MCUs)
+    grids = [(mcuy * comp["vs"], mcux * comp["hs"]) for comp, _, _ in scan]
     br = _BitReader(payload, pos)
-    coeffs = [np.zeros((n_mcu, 64), dtype=np.float64) for _ in scan]
+    coeffs = [np.zeros((gh * gw, 64), dtype=np.float64) for gh, gw in grids]
     prev_dc = [0] * len(scan)
-    for m in range(n_mcu):
-        for si, (comp, td, ta) in enumerate(scan):
-            dc_t, ac_t = hufftables[(0, td)], hufftables[(1, ta)]
-            size = dc_t.decode(br)
-            diff = _extend(br.read_bits(size), size) if size else 0
-            prev_dc[si] += diff
-            zz = coeffs[si][m]
-            zz[0] = prev_dc[si]
-            k = 1
-            while k <= 63:
-                sym = ac_t.decode(br)
-                if sym == 0x00:          # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16              # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(br.read_bits(size), size)
-                k += 1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for si, (comp, td, ta) in enumerate(scan):
+                hs, vs = comp["hs"], comp["vs"]
+                gw = grids[si][1]
+                dc_t, ac_t = hufftables[(0, td)], hufftables[(1, ta)]
+                for by in range(vs):
+                    for bx in range(hs):
+                        size = dc_t.decode(br)
+                        diff = (_extend(br.read_bits(size), size)
+                                if size else 0)
+                        prev_dc[si] += diff
+                        zz = coeffs[si][(my * vs + by) * gw + (mx * hs + bx)]
+                        zz[0] = prev_dc[si]
+                        k = 1
+                        while k <= 63:
+                            sym = ac_t.decode(br)
+                            if sym == 0x00:          # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16              # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
 
-    # ---- dequantize + IDCT + reassemble
+    # ---- dequantize + IDCT + reassemble (+ replication upsample)
     planes = []
     for si, (comp, _, _) in enumerate(scan):
+        gh, gw = grids[si]
         q = qtables[comp["tq"]].reshape(-1)[_ZIGZAG]
         deq = (coeffs[si] * q)[:, _UNZIGZAG].reshape(-1, 8, 8)
         blocks = np.einsum("ji,njk,kl->nil", _C, deq, _C) + 128.0
-        planes.append(_from_blocks(blocks, ph, pw)[:h, :w])
+        plane = _from_blocks(blocks, gh * 8, gw * 8)
+        ry, rx = vmax // comp["vs"], hmax // comp["hs"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     ycc = np.stack(planes, axis=-1)

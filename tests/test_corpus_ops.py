@@ -764,6 +764,67 @@ class TestJpegCodec:
         with pytest.raises(ValueError):
             decode_jpeg(b"not a jpeg")
 
+    def test_420_roundtrip_and_headers(self):
+        """4:2:0 (round-4 verdict item 6): 16x16 MCUs, 2x2-box chroma,
+        replication upsample — the dominant real-web layout."""
+        from matrixprofile_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        h, w = 40, 56
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)
+        ], axis=-1).astype(np.uint8)
+        enc = encode_jpeg(img, quality=90, subsampling="420")
+        # SOF0 declares 2x2 luma / 1x1 chroma sampling
+        sof = enc.find(b"\xff\xc0")
+        assert enc[sof + 11] == 0x22 and enc[sof + 14] == 0x11
+        dec = decode_jpeg(enc)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 16 and err.mean() < 4.0
+        # 420 must be smaller than 444 on the same content
+        assert len(enc) < len(encode_jpeg(img, quality=90))
+        assert encode_jpeg(img, quality=90, subsampling="420") == enc
+
+    def test_420_odd_dims_and_flat_exact(self):
+        from matrixprofile_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(33, 37, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling="420"))
+        assert dec.shape == img.shape
+        flat = np.full((24, 40, 3), [120, 60, 200], np.uint8)
+        assert (decode_jpeg(
+            encode_jpeg(flat, 95, subsampling="420")
+        ) == flat).all()
+
+    def test_420_through_decode_stage(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.jpeg import decode_jpeg, encode_jpeg
+        from matrixprofile_ray.stages.multimodal import image_features
+
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+        payload = encode_jpeg(px, quality=85, subsampling="420")
+        media = pd.DataFrame({
+            "media_id": [9], "kind": ["image"],
+            "payload": [payload], "mime": ["image/jpeg"],
+        })
+        out = (
+            rd.from_pandas(media)
+            .map_batches(
+                DecodeStage,
+                fn_constructor_kwargs={"dim": 8, "fake": False},
+                batch_format="pandas", batch_size=4, concurrency=1,
+            )
+            .to_pandas()
+        )
+        want = np.round(image_features(
+            decode_jpeg(payload).astype(np.float64), 8), 6)
+        np.testing.assert_array_equal(
+            np.asarray(out["feature"].iloc[0]), want)
+
     def test_jpeg_through_decode_stage(self, ray_session):
         import ray.data as rd
 

@@ -109,6 +109,67 @@ class TestBruteMpOracleKernel:
         assert 0 not in idx  # the all-constant leading window is dropped
 
 
+class TestSnippetsBruteMirror:
+    def test_mirror_matches_core_snippets(self):
+        """The oracle-visible snippet mirror (s=8, w=4) must pick the same
+        snippet indices as the production core.snippets kernel on a
+        constant-window-free series (where the kernel's FFT mass2 path is
+        well-defined) — the link from the DuckDB greedy-cover gate to the
+        real kernel. Driver count series always carry constant windows,
+        so this is the test that keeps the in-query assert honest."""
+        import matrixprofile_ray.core as core
+        from __ray_entry__ import _snippets_brute_key
+
+        rng = np.random.default_rng(23)
+        c = np.round(rng.gamma(3.0, 10.0, size=200)) + np.linspace(
+            0, 0.5, 200
+        )  # the ramp guarantees no constant w=4 window
+        res = _snippets_brute_key(c, 8)
+        assert res is not None
+        found, had_const = res
+        assert not had_const
+        m = (len(c) // 8) * 8
+        prod = core.snippets(c[:m], 8, num_snippets=2, window_size=4)
+        assert [p["index"] for p in prod] == [f[1] for f in found]
+        # fractions in (0, 1], ranks 0 and 1
+        assert [f[0] for f in found] == [0, 1]
+        assert all(0 < f[2] <= 1.0 + 1e-9 for f in found)
+
+    def test_mirror_matches_duckdb_sql(self):
+        """End-to-end: the SQL chain and the numpy mirror agree exactly
+        on a synthetic events table (tiny, in-memory DuckDB)."""
+        import duckdb
+
+        from __ray_entry__ import (
+            H1,
+            _round6_away_arr,
+            _snippets_brute_key,
+            _snippets_sql,
+        )
+
+        rng = np.random.default_rng(4)
+        n = 64
+        ts = pd.to_datetime(
+            np.repeat(np.arange(n), rng.integers(1, 6, size=n))
+            * 3_600_000_000, unit="us"
+        )
+        events = pd.DataFrame({
+            "event_type": "a", "ts": ts, "value": 1.0,
+        })
+        con = duckdb.connect()
+        con.register("events", events)
+        oracle = con.execute(_snippets_sql(8)).df()
+        counts = events.groupby(
+            events["ts"].astype("int64") // (H1 * 1000)
+        ).size().to_numpy(dtype="d")
+        found, _ = _snippets_brute_key(counts, 8)
+        assert list(oracle["idx"]) == [f[1] for f in found]
+        np.testing.assert_array_equal(
+            oracle["fraction"].to_numpy(),
+            _round6_away_arr([f[2] for f in found]),
+        )
+
+
 class TestSuppressedPicksMatchProduction:
     """The chained-CTE oracle mirrors (q_discords_1h / q_regimes_1h) pick
     with (value, idx) tie-break + reference suppression; the production
