@@ -5,11 +5,11 @@ item 9): ``DecodeStage(fake=False)`` can now really decode ``image/jpeg``
 payloads with no codec library. Spec scope (ITU-T T.81 baseline):
 
 - sequential DCT, 8-bit precision, Huffman entropy coding
-- 3-component YCbCr with 4:4:4 or 4:2:0 sampling (the decoder accepts
-  any per-component sampling factors in {1,2} — 4:2:2 / 4:4:0 streams
-  decode too; real-web corpora are overwhelmingly 4:2:0) or 1-component
-  grayscale; JFIF color transform; chroma downsample is a 2x2 box mean,
-  upsample is pixel replication (both deterministic)
+- 3-component YCbCr with 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 sampling on both
+  sides (the decoder accepts any per-component sampling factors in
+  {1,2}; real-web corpora are overwhelmingly 4:2:0) or 1-component
+  grayscale; JFIF color transform; chroma downsample is a box mean over
+  the sampling cell, upsample is pixel replication (both deterministic)
 - the DECODER is generic over the tables carried in the stream (DQT/DHT
   are parsed, not assumed), handles 0xFF00 byte stuffing, and crops the
   8-multiple padding back to the SOF dimensions
@@ -261,9 +261,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
                 subsampling: str = "444") -> bytes:
     """(H, W, 3) uint8 RGB or (H, W) uint8 grayscale → baseline JPEG.
 
-    ``subsampling``: "444" (one block per component per MCU) or "420"
-    (2x2 luma blocks + one Cb + one Cr per 16x16 MCU; chroma planes are
-    2x2 box means — the dominant layout of real web imagery)."""
+    ``subsampling``: "444" (one block per component per MCU), "420"
+    (2x2 luma blocks + one Cb + one Cr per 16x16 MCU, 2x2 box-mean
+    chroma — the dominant layout of real web imagery), "422" (2x1 luma
+    per 16x8 MCU, horizontal box-mean chroma) or "440" (1x2 luma per
+    8x16 MCU, vertical box-mean chroma)."""
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     if gray:
@@ -271,24 +273,28 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     h, w, ncomp = pixels.shape
     if ncomp not in (1, 3):
         raise ValueError("encode_jpeg expects 1 or 3 channels")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    sub420 = subsampling == "420" and ncomp == 3
+    factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsampling not in factors:
+        raise ValueError("subsampling must be one of "
+                         + "/".join(sorted(factors)))
+    # luma sampling factors; chroma is always 1x1
+    hl, vl = factors[subsampling] if ncomp == 3 else (1, 1)
 
     planes = (pixels[..., 0].astype(np.float64)[..., None]
               if ncomp == 1 else _rgb_to_ycbcr(pixels.astype(np.float64)))
     qtables = [_quality_scale(_QUANT_LUMA, quality),
                _quality_scale(_QUANT_CHROMA, quality)]
 
-    mcu_px = 16 if sub420 else 8
-    ph, pw = -(-h // mcu_px) * mcu_px, -(-w // mcu_px) * mcu_px
+    mcu_w, mcu_h = 8 * hl, 8 * vl
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     comp_planes = []
     for ci in range(ncomp):
         plane = _pad_plane(planes[..., ci], ph, pw)
-        if sub420 and ci > 0:
-            # 2x2 box mean; padded dims are 16-multiples so the chroma
-            # plane is an 8-multiple automatically
-            plane = plane.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        if ci > 0 and (hl, vl) != (1, 1):
+            # vl x hl box mean; padded dims are MCU multiples so the
+            # chroma plane is an 8-multiple automatically
+            plane = plane.reshape(ph // vl, vl, pw // hl, hl)
+            plane = plane.mean(axis=(1, 3))
         comp_planes.append(plane)
 
     comp_coeffs = []
@@ -310,7 +316,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     sof = bytearray([8])                             # precision
     sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
-        samp = 0x22 if (sub420 and ci == 0) else 0x11
+        samp = ((hl << 4) | vl) if ci == 0 else 0x11
         sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += _seg(0xC0, bytes(sof))
     for tclass_tid, (bits, vals) in {
@@ -333,12 +339,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     # each MCU carries hs x vs blocks per component in raster order
     bw = _BitWriter()
     prev_dc = [0] * ncomp
-    if sub420:
-        mcux, mcuy = pw // 16, ph // 16
-        samps = [(2, 2), (1, 1), (1, 1)]
-    else:
-        mcux, mcuy = pw // 8, ph // 8
-        samps = [(1, 1)] * ncomp
+    mcux, mcuy = pw // mcu_w, ph // mcu_h
+    samps = [(hl, vl)] + [(1, 1)] * (ncomp - 1)
     for my in range(mcuy):
         for mx in range(mcux):
             for ci in range(ncomp):

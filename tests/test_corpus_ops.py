@@ -798,6 +798,35 @@ class TestJpegCodec:
             encode_jpeg(flat, 95, subsampling="420")
         ) == flat).all()
 
+    def test_422_440_roundtrip(self):
+        """Generalized luma sampling factors: 4:2:2 (16x8 MCU) and 4:4:0
+        (8x16 MCU) — exercises the decoder's generic {1,2}-factor path
+        that previously had no encoder producing fixtures for it."""
+        from matrixprofile_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        h, w = 40, 56
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)
+        ], axis=-1).astype(np.uint8)
+        for sub, samp in (("422", 0x21), ("440", 0x12)):
+            enc = encode_jpeg(img, quality=90, subsampling=sub)
+            sof = enc.find(b"\xff\xc0")
+            assert enc[sof + 11] == samp and enc[sof + 14] == 0x11
+            dec = decode_jpeg(enc)
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.max() <= 16 and err.mean() < 4.0
+            assert len(enc) < len(encode_jpeg(img, quality=90))
+            # odd dims roundtrip + bit-exact flat block
+            rng = np.random.default_rng(7)
+            rimg = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+            assert decode_jpeg(
+                encode_jpeg(rimg, 95, subsampling=sub)).shape == rimg.shape
+            flat = np.full((24, 40, 3), [120, 60, 200], np.uint8)
+            assert (decode_jpeg(
+                encode_jpeg(flat, 95, subsampling=sub)) == flat).all()
+
     def test_420_through_decode_stage(self, ray_session):
         import ray.data as rd
 
