@@ -827,6 +827,93 @@ class TestJpegCodec:
             assert (decode_jpeg(
                 encode_jpeg(flat, 95, subsampling=sub)) == flat).all()
 
+    def test_progressive_equals_baseline(self):
+        """Progressive (SOF2) carries the same quantized coefficients as
+        baseline, just re-ordered into scans — so decode(progressive)
+        must be pixel-identical to decode(baseline) of the same image.
+        Covers all four scan types: DC first/refine, AC first/refine
+        with spectral bands 1-5 / 6-63 and successive approximation."""
+        from matrixprofile_ray.stages.jpeg import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        h, w = 40, 56
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)
+        ], axis=-1).astype(np.uint8)
+        rng = np.random.default_rng(7)
+        rimg = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+        for sub in ("444", "420", "422"):
+            for im in (img, rimg):
+                p = encode_jpeg_progressive(im, 90, subsampling=sub)
+                assert p[:2] == b"\xff\xd8" and b"\xff\xc2" in p
+                assert (decode_jpeg(p)
+                        == decode_jpeg(encode_jpeg(
+                            im, 90, subsampling=sub))).all()
+        gray = np.tile(np.arange(48, dtype=np.uint8) * 5, (24, 1))
+        assert (decode_jpeg(encode_jpeg_progressive(gray, 90))
+                == decode_jpeg(encode_jpeg(gray, 90))).all()
+        # deterministic
+        assert (encode_jpeg_progressive(img, 90)
+                == encode_jpeg_progressive(img, 90))
+
+    def test_progressive_eob_runs_and_odd_dims(self):
+        """Long EOBn runs (mostly-flat 128x144 → runs ≫ 1 in first scans,
+        correction bits riding EOB runs in refine scans) and odd dims
+        where the single-component ceil grid is smaller than the padded
+        MCU grid (w=17 at 4:2:0 → 3 coded luma columns of 4)."""
+        from matrixprofile_ray.stages.jpeg import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        rng = np.random.default_rng(3)
+        big = np.full((128, 144, 3), 90, np.uint8)
+        for _ in range(12):
+            y, x = rng.integers(0, 120), rng.integers(0, 136)
+            big[y:y + 6, x:x + 6] = rng.integers(0, 256, size=3)
+        for sub in ("444", "420"):
+            assert (decode_jpeg(encode_jpeg_progressive(big, 85, sub))
+                    == decode_jpeg(encode_jpeg(big, 85, sub))).all()
+        for dims in ((17, 17), (9, 23), (31, 15)):
+            im = rng.integers(0, 256, size=(*dims, 3), dtype=np.uint8)
+            for sub in ("420", "422", "440"):
+                assert (decode_jpeg(encode_jpeg_progressive(im, 92, sub))
+                        == decode_jpeg(encode_jpeg(im, 92, sub))).all()
+        flat = np.full((24, 40, 3), [120, 60, 200], np.uint8)
+        assert (decode_jpeg(
+            encode_jpeg_progressive(flat, 95, subsampling="420"))
+            == flat).all()
+
+    def test_progressive_through_decode_stage(self, ray_session):
+        """A progressive payload flows through the same image/jpeg
+        DecodeStage dispatch — no fake, real SOF2 decode in the actor."""
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.jpeg import (
+            decode_jpeg, encode_jpeg_progressive)
+        from matrixprofile_ray.stages.multimodal import image_features
+
+        rng = np.random.default_rng(13)
+        px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+        payload = encode_jpeg_progressive(px, quality=85,
+                                          subsampling="420")
+        media = pd.DataFrame({
+            "media_id": [9], "kind": ["image"],
+            "payload": [payload], "mime": ["image/jpeg"],
+        })
+        out = (
+            rd.from_pandas(media)
+            .map_batches(
+                DecodeStage,
+                fn_constructor_kwargs={"dim": 8, "fake": False},
+                batch_format="pandas", batch_size=4, concurrency=1,
+            )
+            .to_pandas()
+        )
+        want = np.round(image_features(
+            decode_jpeg(payload).astype(np.float64), 8), 6)
+        np.testing.assert_array_equal(
+            np.asarray(out["feature"].iloc[0]), want)
+
     def test_420_through_decode_stage(self, ray_session):
         import ray.data as rd
 
