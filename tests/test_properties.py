@@ -284,3 +284,22 @@ def test_distinct_gram_pairs_match_naive(words, n):
     want = sorted({" ".join(toks[i:i + n])
                    for i in range(len(toks) - n + 1)})
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(h=st.integers(8, 40), w=st.integers(8, 40),
+       seed=st.integers(0, 2**31 - 1),
+       sub=st.sampled_from(["444", "420", "422", "440"]),
+       quality=st.integers(60, 98))
+def test_jpeg_progressive_matches_baseline(h, w, seed, sub, quality):
+    """Progressive (SOF2) is a re-ordering of the same quantized
+    coefficients, so decode(progressive) must equal decode(baseline)
+    pixel-for-pixel on ANY image/dims/subsampling/quality."""
+    from matrixprofile_ray.stages.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    p = decode_jpeg(encode_jpeg_progressive(img, quality, subsampling=sub))
+    b = decode_jpeg(encode_jpeg(img, quality, subsampling=sub))
+    np.testing.assert_array_equal(p, b)
