@@ -833,6 +833,63 @@ def q_cluster_events(sf_dir: str):
     })
 
 
+def q_cluster_events_brute_1h(sf_dir: str):
+    """Single-linkage 2-cluster cut UNDER THE ORACLE (reference
+    hierarchical_clustering.py:49-146 semantics at w=4): pairwise MPDist
+    from the same brute chain as mpdist_pairs_1h, then the maxclust-2
+    dendrogram cut re-expressed as THRESHOLD COMPONENTS — the partition
+    is the min-label components of the graph with edges d <= v*, where
+    v* is the largest distance at which the graph still has >= 2
+    components. For distinct merge distances this equals the
+    single-linkage dendrogram cut, which is asserted in-query against
+    the engine's own ``core.linkage``/``core.fcluster`` (the production
+    path q_cluster_events runs at w=24). Cluster labels are normalized
+    to the lexicographically smallest member on both sides (min-label
+    propagation is exactly that), so ids are SQL-comparable. Falls back
+    to singletons if every threshold already connects the graph (all-tie
+    degenerate case)."""
+    import matrixprofile_ray.core as core
+
+    pairs = q_mpdist_pairs_1h(sf_dir)
+    keys: list[str] = sorted(set(pairs["a"]) | set(pairs["b"]))
+    plist = list(pairs.itertuples(index=False))
+
+    def comps(vmax: float) -> dict[str, str]:
+        lab = {k: k for k in keys}
+        edges = [(p.a, p.b) for p in plist if p.mpdist <= vmax]
+        changed = True
+        while changed:
+            changed = False
+            for a, b in edges:
+                m = min(lab[a], lab[b])
+                if lab[a] != m or lab[b] != m:
+                    lab[a] = lab[b] = m
+                    changed = True
+        return lab
+
+    best_v = None
+    for v in sorted(set(pairs["mpdist"])):
+        if len(set(comps(v).values())) >= 2:
+            best_v = v
+    lab = comps(best_v) if best_v is not None else {k: k for k in keys}
+
+    # dendrogram-cut equivalence check (distinct merge distances only)
+    condensed = pairs.sort_values(["a", "b"])["mpdist"].to_numpy()
+    Z = core.linkage(condensed, method="single")
+    if len(set(Z[:, 2])) == len(Z):
+        fl = core.fcluster(Z, 2)
+        want = {frozenset(k for k, c in zip(keys, fl) if c == cid)
+                for cid in set(fl)}
+        got = {frozenset(k for k, r in lab.items() if r == rep)
+               for rep in set(lab.values())}
+        assert want == got, "threshold cut != dendrogram cut"
+
+    return pd.DataFrame({
+        "event_type": keys,
+        "cluster_rep": [lab[k] for k in keys],
+    }).sort_values("event_type").reset_index(drop=True)
+
+
 def q_av_complexity_w24_1h(sf_dir: str):
     """Annotation-vector correction: cmp = mp + (1-av)*max(mp) with the
     complexity AV (reference transform.py:15-87, 90-285)."""
@@ -3389,6 +3446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_users": q_events_daily_users,
         "doc_rank_by_len": q_doc_rank_by_len,
         "quality_weighted_sample": q_quality_weighted_sample,
+        "cluster_events_brute_1h": q_cluster_events_brute_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -5289,5 +5347,79 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked r JOIN sizes s ON r.ta = s.ta AND r.tb = s.tb
             WHERE r.rn = LEAST(
                 r.cnt, CAST(ceil(0.05 * (s.na + s.nb)) AS BIGINT))
+        """,
+        # single-linkage maxclust-2 cut as threshold components: the
+        # partition = min-label components of edges d <= v*, v* = the
+        # largest distance leaving >= 2 components (equals the dendrogram
+        # cut for distinct merge values — asserted engine-side); labels
+        # normalize to the lexicographically smallest member
+        "cluster_events_brute_1h": f"""
+            WITH RECURSIVE {_zwin_sql_cte()}, cross_d AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                       a.i AS i, b.i AS j,
+                       ROUND({_DIST4_SQL}, 6) AS dist
+                FROM z a JOIN z b ON a.event_type < b.event_type
+            ), ab AS (
+                SELECT ta, tb, i, min(dist) AS d
+                FROM cross_d GROUP BY 1, 2, 3
+            ), ba AS (
+                SELECT ta, tb, j, min(dist) AS d
+                FROM cross_d GROUP BY 1, 2, 3
+            ), u AS (
+                SELECT ta, tb, d FROM ab
+                UNION ALL SELECT ta, tb, d FROM ba
+            ), sizes AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                       a.n AS na, b.n AS nb
+                FROM (SELECT DISTINCT event_type, n FROM seq) a
+                JOIN (SELECT DISTINCT event_type, n FROM seq) b
+                  ON a.event_type < b.event_type
+            ), ranked AS (
+                SELECT ta, tb, d,
+                       row_number() OVER (PARTITION BY ta, tb
+                                          ORDER BY d ASC) AS rn,
+                       count(*) OVER (PARTITION BY ta, tb) AS cnt
+                FROM u
+            ), dists AS (
+                SELECT r.ta AS a, r.tb AS b, r.d AS mpdist
+                FROM ranked r JOIN sizes s ON r.ta = s.ta AND r.tb = s.tb
+                WHERE r.rn = LEAST(
+                    r.cnt, CAST(ceil(0.05 * (s.na + s.nb)) AS BIGINT))
+            ), nodes AS (
+                SELECT DISTINCT event_type FROM seq
+            ), vals AS (
+                SELECT DISTINCT mpdist AS v FROM dists
+            ), edges AS (
+                SELECT vals.v, dists.a AS x, dists.b AS y
+                FROM vals JOIN dists ON dists.mpdist <= vals.v
+                UNION ALL
+                SELECT vals.v, dists.b, dists.a
+                FROM vals JOIN dists ON dists.mpdist <= vals.v
+            ), reach(v, n, m) AS (
+                SELECT v, x, y FROM edges
+                UNION
+                SELECT r.v, r.n, e.y
+                FROM reach r JOIN edges e ON r.v = e.v AND r.m = e.x
+            ), lab AS (
+                SELECT vals.v, nodes.event_type AS node,
+                       LEAST(nodes.event_type,
+                             COALESCE(MIN(reach.m),
+                                      nodes.event_type)) AS lab
+                FROM vals CROSS JOIN nodes
+                LEFT JOIN reach ON reach.v = vals.v
+                               AND reach.n = nodes.event_type
+                GROUP BY 1, 2
+            ), ncomp AS (
+                SELECT v, COUNT(DISTINCT lab) AS nc FROM lab GROUP BY 1
+            ), vstar AS (
+                SELECT MAX(v) AS v FROM ncomp WHERE nc >= 2
+            ), final AS (
+                SELECT l.node, l.lab
+                FROM lab l JOIN vstar ON l.v = vstar.v
+            )
+            SELECT nodes.event_type,
+                   COALESCE(final.lab, nodes.event_type) AS cluster_rep
+            FROM nodes LEFT JOIN final ON final.node = nodes.event_type
+            ORDER BY event_type
         """,
     }

@@ -263,3 +263,63 @@ class TestDriverPrefixInvariant:
         oracles = set(e.oracle_sql())
         missing = [n for n in names[:50] if n not in oracles]
         assert missing == [], f"non-oracle queries inside the prefix: {missing}"
+
+
+class TestClusterBruteMirror:
+    def test_threshold_cut_equals_dendrogram_cut(self):
+        """The SQL-expressible threshold-components rule (components of
+        edges d <= v*, v* = largest distance leaving >= 2 components)
+        must equal the single-linkage maxclust-2 dendrogram cut for
+        distinct distances — the equivalence q_cluster_events_brute_1h's
+        in-query assert relies on."""
+        import itertools
+
+        import matrixprofile_ray.core as core
+
+        rng = np.random.default_rng(11)
+        for trial in range(30):
+            m = int(rng.integers(3, 8))
+            condensed = rng.permutation(np.arange(1, m * (m - 1) // 2 + 1)
+                                        ).astype("d")
+            keys = [f"k{i}" for i in range(m)]
+            pairs = [(keys[i], keys[j], condensed[k])
+                     for k, (i, j) in enumerate(
+                         itertools.combinations(range(m), 2))]
+
+            def comps(vmax):
+                lab = {k: k for k in keys}
+                edges = [(a, b) for a, b, d in pairs if d <= vmax]
+                changed = True
+                while changed:
+                    changed = False
+                    for a, b in edges:
+                        mm = min(lab[a], lab[b])
+                        if lab[a] != mm or lab[b] != mm:
+                            lab[a] = lab[b] = mm
+                            changed = True
+                return lab
+
+            best = None
+            for v in sorted({d for _, _, d in pairs}):
+                if len(set(comps(v).values())) >= 2:
+                    best = v
+            lab = comps(best)
+            got = {frozenset(k for k, r in lab.items() if r == rep)
+                   for rep in set(lab.values())}
+            Z = core.linkage(condensed, method="single")
+            fl = core.fcluster(Z, 2)
+            want = {frozenset(k for k, c in zip(keys, fl) if c == cid)
+                    for cid in set(fl)}
+            assert want == got, trial
+            assert len(got) == 2
+
+    def test_query_runs_and_labels_normalized(self, ray_session):
+        from __ray_entry__ import q_cluster_events_brute_1h
+
+        out = q_cluster_events_brute_1h("/root/testdata/sf0.001")
+        assert list(out.columns) == ["event_type", "cluster_rep"]
+        assert len(out) == 5
+        # every cluster label is the lexicographically smallest member
+        for rep, grp in out.groupby("cluster_rep"):
+            assert rep == grp["event_type"].min()
+        assert out["cluster_rep"].nunique() >= 2
