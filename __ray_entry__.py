@@ -3353,6 +3353,155 @@ def q_doc_rank_by_len(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+# ------------------------- gap-filled (imputed) tier UNDER THE ORACLE --
+# The windowed forward-mean imputation (core.preprocess.impute_missing,
+# reference preprocess.py:140-222) is a sequential recurrence
+# x[t] = ((x[t-3] + x[t-2]) + x[t-1]) / 3 over gap positions — mirrored
+# in SQL by a recursive CTE that carries each key's series as a LIST and
+# replaces one element per gap, in the same ascending order, with the
+# same left-associated float expression. Endpoints of the dense grid are
+# observed buckets by construction (the grid spans first..last observed),
+# so the reference's endpoint seeding is a no-op here; the head window
+# [0, 4) is filled set-based with the mean of its finite entries exactly
+# like the engine's vectorized head fill. Noise is OFF for these queries
+# (add_noise=False is a first-class pipeline parameter): noise only
+# exists to de-flatten constant windows and draws from a seeded RNG that
+# SQL cannot reproduce; the noisy production variants stay pytest-gated
+# as *_w24_1h.
+
+_GAP_MP_CACHE: dict = {}
+
+
+def _gap_series_ds(sf_dir: str):
+    """Noise-free gap-filled 1h count series per key — the PRODUCTION
+    assembly path (rollup_events → series_from_buckets) with
+    add_noise=False."""
+    from matrixprofile_ray.pipelines.timeseries import (
+        rollup_events,
+        series_from_buckets,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+    return series_from_buckets(buckets, H1, add_noise=False)
+
+
+def q_gapfill_series_1h(sf_dir: str):
+    """Gap-fill VALUES under the DuckDB oracle: every imputed point of the
+    noise-free dense 1h series, value-level (not just n/n_gaps like
+    gapfill_1h). Both sides compute bit-identical doubles (the imputation
+    recurrence and head-window mean are mirrored expression-for-
+    expression), rounded half-away at 6 decimals for the hash."""
+    from matrixprofile_ray.stages.relational import _round6_away
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, r in batch.iterrows():
+            v = np.asarray(r["values"], dtype="d")
+            frames.append(pd.DataFrame({
+                "event_type": r["event_type"],
+                "pos": np.arange(len(v), dtype=np.int64),
+                "val": _round6_away(v),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    df = _gap_series_ds(sf_dir).map_batches(
+        explode, batch_format="pandas"
+    ).to_pandas()
+    df["pos"] = df["pos"].astype("int64")
+    return df.sort_values(["event_type", "pos"]).reset_index(drop=True)
+
+
+def _gap_mp_df(sf_dir: str) -> pd.DataFrame:
+    """Brute w=24 self-join MP (ez = ceil(24/4) = 6) over each key's
+    NOISE-FREE gap-filled 1h series, bit-mirroring the SQL float order,
+    PLUS an in-task assert that the production ``core.mpx`` kernel at
+    w=24 agrees on the same imputed series (exact at the 6-decimal
+    rounding when no constant windows; ≤ otherwise — mpx scores a
+    superset of neighbor candidates). Cached per sf_dir — three driver
+    queries consume this frame."""
+    if sf_dir in _GAP_MP_CACHE:
+        return _GAP_MP_CACHE[sf_dir]
+
+    def brute(batch: pd.DataFrame) -> pd.DataFrame:
+        import matrixprofile_ray.core as core
+
+        frames = []
+        for _, r in batch.iterrows():
+            key = r["event_type"]
+            c = np.asarray(r["values"], dtype="d")
+            res = _brute_mp_any(c, 24, ez=6, min_len=31)
+            if res is None:
+                continue
+            idx, mp, pi = res
+            mp_prod, _ = core.mpx(c, 24)
+            prod_r = _round6_away_arr(mp_prod)[idx]
+            if len(idx) == len(c) - 23:     # no constant windows
+                err = float(np.max(np.abs(prod_r - mp)))
+                assert err < 5e-6, (
+                    f"core.mpx(w=24) diverged from gap-fill mirror on "
+                    f"{key}: {err}"
+                )
+            else:
+                assert np.all(prod_r <= mp + 5e-6), key
+            frames.append(pd.DataFrame({
+                "event_type": key, "idx": idx, "mp": mp, "pi": pi,
+            }))
+        if not frames:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "idx": pd.Series(dtype="int64"),
+                "mp": pd.Series(dtype="float64"),
+                "pi": pd.Series(dtype="int64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    df = _gap_series_ds(sf_dir).map_batches(
+        brute, batch_format="pandas", batch_size=2
+    ).to_pandas()
+    for c in ("idx", "pi"):
+        df[c] = df[c].astype("int64")
+    df = df.sort_values(["event_type", "idx"]).reset_index(drop=True)
+    _GAP_MP_CACHE[sf_dir] = df
+    return df
+
+
+def q_profile_mpx_w24g_1h(sf_dir: str):
+    """PRODUCTION-WINDOW (w=24) matrix profile over the gap-filled 1h
+    tier UNDER THE DUCKDB ORACLE — the oracle-gated twin of
+    profile_mpx_w24_1h (which keeps the seeded de-flattening noise and
+    stays pytest-gated). The full pipeline is mirrored in SQL: rollup →
+    recursive-CTE imputation → w=24 z-windows → brute self-join; the
+    production core.mpx kernel is asserted in-task on the same series."""
+    return _gap_mp_df(sf_dir).copy()
+
+
+def q_discords_w24g_1h(sf_dir: str):
+    """Top-3 discords at the production window (w=24, ez=6, end-exclusive
+    suppression) over the gap-filled tier, oracle-gated; production
+    core.top_k_discords asserted whenever rounded values are tie-free."""
+    import matrixprofile_ray.core as core
+
+    def check(key, idx, vals, pi, picks):
+        positional = bool((idx == np.arange(len(idx))).all())
+        no_ties = len(np.unique(vals)) == len(vals)
+        if positional and no_ties:
+            prod = core.top_k_discords(vals, 24, exclusion_zone=6, k=3)
+            assert [int(v) for v in prod] == [int(idx[x]) for x in picks], key
+
+    return _picks_frame(_gap_mp_df(sf_dir), k=3, ez=6, largest=True,
+                        end_exclusive=True, mask_pair=False,
+                        assert_fn=check)
+
+
+def q_motifs_w24g_1h(sf_dir: str):
+    """Top-3 motif picks at the production window (w=24, inclusive ±6
+    masking around both motif ends) over the gap-filled tier,
+    oracle-gated."""
+    return _picks_frame(_gap_mp_df(sf_dir), k=3, ez=6, largest=False,
+                        end_exclusive=False, mask_pair=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Ordered: oracle-backed queries first (every entry below the
@@ -3447,6 +3596,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank_by_len": q_doc_rank_by_len,
         "quality_weighted_sample": q_quality_weighted_sample,
         "cluster_events_brute_1h": q_cluster_events_brute_1h,
+        # gap-filled tier value-level + production-window (w=24) mirrors
+        "gapfill_series_1h": q_gapfill_series_1h,
+        "profile_mpx_w24g_1h": q_profile_mpx_w24g_1h,
+        "discords_w24g_1h": q_discords_w24g_1h,
+        "motifs_w24g_1h": q_motifs_w24g_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4024,6 +4178,135 @@ def _brute_mp_sql_any(w: int, ez: int, min_len: int, sfx: str = "",
             ), mpq{sfx} AS (
                 SELECT event_type, i AS idx, dist AS mp, j AS pi
                 FROM ranked{sfx} WHERE rn = 1
+            )"""
+
+
+def _impute_sql_cte() -> str:
+    """Recursive-CTE mirror of the windowed forward-mean gap-fill
+    (core.preprocess.impute_missing, window=4, method=mean, forward —
+    reference preprocess.py:140-222) over each key's dense hourly grid.
+
+    The series is carried as a LIST<DOUBLE> per key; each recursion step
+    replaces ONE gap (ascending position order) with
+    ((l[t-2] + l[t-1]) + l[t]) / 3.0 — the exact left-associated float
+    expression of the engine's scalar recurrence, so the two sides
+    produce bit-identical doubles. The dense grid spans first..last
+    OBSERVED bucket per key, so grid endpoints are never gaps and the
+    reference's endpoint seeding is a no-op; head-window gaps (pos < 4)
+    are filled set-based with the mean (ordered left-associated SUM /
+    COUNT) of the window's finite entries, exactly like the engine's
+    vectorized head fill. Ends in iv(event_type, pos, c, n).
+
+    Grid bound: the join against range(16384) caps the mirrored span at
+    16384 buckets (the bench tables span 720); a longer engine series
+    would drop rows and fail the row-count gate LOUDLY rather than
+    silently diverge."""
+    return f"""
+            hg AS (
+                SELECT event_type, (epoch_us(ts) // {H1}) * {H1} AS b,
+                       count(*)::DOUBLE AS c
+                FROM events GROUP BY 1, 2
+            ), boundsg AS (
+                SELECT event_type, min(b) AS b0,
+                       ((max(b) - min(b)) // {H1} + 1)::BIGINT AS n
+                FROM hg GROUP BY 1
+            ), gridg AS (
+                SELECT bo.event_type, gs.range::BIGINT AS pos, hg.c, bo.n
+                FROM boundsg bo
+                JOIN range(16384) gs ON gs.range < bo.n
+                LEFT JOIN hg ON hg.event_type = bo.event_type
+                            AND (hg.b - bo.b0) // {H1} = gs.range
+            ), headfillg AS (
+                SELECT event_type,
+                       SUM(CASE WHEN pos < 4 AND c IS NOT NULL THEN c END
+                           ORDER BY pos) AS hsum,
+                       COUNT(CASE WHEN pos < 4 AND c IS NOT NULL THEN c
+                             END) AS hcnt
+                FROM gridg GROUP BY event_type
+            ), baseg AS (
+                SELECT g.event_type,
+                       list(CASE WHEN g.c IS NOT NULL THEN g.c
+                                 WHEN g.pos < 4 THEN hf.hsum / hf.hcnt
+                            END ORDER BY g.pos) AS l
+                FROM gridg g JOIN headfillg hf USING (event_type)
+                GROUP BY g.event_type
+            ), gapsg AS (
+                SELECT event_type, pos,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY pos
+                       ) AS gi
+                FROM gridg WHERE c IS NULL AND pos >= 4
+            ), recg AS (
+                SELECT event_type, 0::BIGINT AS g, l FROM baseg
+                UNION ALL
+                SELECT r.event_type, r.g + 1,
+                       r.l[1:gp.pos]
+                       || [((r.l[gp.pos-2] + r.l[gp.pos-1])
+                            + r.l[gp.pos]) / 3.0]
+                       || r.l[gp.pos+2:]
+                FROM recg r JOIN gapsg gp
+                  ON gp.event_type = r.event_type AND gp.gi = r.g + 1
+            ), fing AS (
+                SELECT event_type, l,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY g DESC
+                       ) AS rn
+                FROM recg
+            ), iv AS (
+                SELECT f.event_type, g.pos, f.l[g.pos + 1] AS c, g.n
+                FROM fing f JOIN gridg g USING (event_type)
+                WHERE f.rn = 1
+            )"""
+
+
+def _gap_mp_sql(w: int, ez: int, min_len: int) -> str:
+    """Brute-MP chain over the IMPUTED series (gap-filled tier): the
+    _impute_sql_cte recursion feeds the same left-associated z-window /
+    distance expressions as _brute_mp_sql_any. Ends in
+    mpqg(event_type, idx, mp, pi). Callers must open WITH RECURSIVE."""
+    lead_cols = ",\n                       ".join(
+        f"lead(c, {k}) OVER wng AS c{k}" for k in range(1, w)
+    )
+    mu = _fold_add([f"c{k}" for k in range(w)]) + f" / {w}.0"
+    dd = ",\n                       ".join(
+        f"c{k} - mu AS d{k}" for k in range(w)
+    )
+    var = _fold_add([f"d{k}*d{k}" for k in range(w)]) + f" / {w}.0"
+    zz = ",\n                       ".join(
+        f"d{k} / sd AS z{k}" for k in range(w)
+    )
+    return f"""{_impute_sql_cte()}, wing AS (
+                SELECT event_type, pos AS i, n, c AS c0,
+                       {lead_cols}
+                FROM iv
+                WINDOW wng AS (PARTITION BY event_type ORDER BY pos)
+            ), zdg AS (
+                SELECT event_type, i, n, {dd}
+                FROM (
+                    SELECT *, {mu} AS mu
+                    FROM wing WHERE c{w - 1} IS NOT NULL
+                )
+            ), zg AS (
+                SELECT event_type, i, n, {zz}
+                FROM (
+                    SELECT *, sqrt({var}) AS sd FROM zdg
+                ) WHERE sd > 0
+            ), pairsg AS (
+                SELECT a.event_type, a.i, b.i AS j,
+                       ROUND({_dist_sql_any(w, "a", "b")}, 6) AS dist
+                FROM zg a JOIN zg b
+                  ON a.event_type = b.event_type AND abs(a.i - b.i) > {ez}
+                WHERE a.n >= {min_len}
+            ), rankedg AS (
+                SELECT event_type, i, j, dist,
+                       row_number() OVER (
+                           PARTITION BY event_type, i
+                           ORDER BY dist ASC, j ASC
+                       ) AS rn
+                FROM pairsg
+            ), mpqg AS (
+                SELECT event_type, i AS idx, dist AS mp, j AS pi
+                FROM rankedg WHERE rn = 1
             )"""
 
 
@@ -5422,4 +5705,30 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes LEFT JOIN final ON final.node = nodes.event_type
             ORDER BY event_type
         """,
+        # ---- gap-filled (imputed) tier: recursive-CTE impute mirror ----
+        # every imputed VALUE of the noise-free dense 1h series,
+        # bit-identical doubles rounded half-away at 6 decimals
+        "gapfill_series_1h": f"""
+            WITH RECURSIVE {_impute_sql_cte()}
+            SELECT event_type, pos, ROUND(c, 6) AS val
+            FROM iv ORDER BY event_type, pos
+        """,
+        # brute w=24 MP over the imputed series (ez = ceil(24/4) = 6;
+        # min length 31 = w + ez + 1 windows guard)
+        "profile_mpx_w24g_1h": f"""
+            WITH RECURSIVE {_gap_mp_sql(24, 6, 31)}
+            SELECT event_type, idx, mp, pi FROM mpqg
+        """,
+        # k=3 argmax picks, end-exclusive [i-6, i+6) suppression
+        "discords_w24g_1h": _suppressed_topk_sql(
+            _gap_mp_sql(24, 6, 31), "mpqg", "mp DESC, idx ASC",
+            "({m}.idx < {p}.idx - 6 OR {m}.idx >= {p}.idx + 6)",
+            3, "idx, mp, pi",
+        ).replace("WITH ", "WITH RECURSIVE ", 1),
+        # k=3 argmin picks, inclusive ±6 masking around BOTH motif ends
+        "motifs_w24g_1h": _suppressed_topk_sql(
+            _gap_mp_sql(24, 6, 31), "mpqg", "mp ASC, idx ASC",
+            "(abs({m}.idx - {p}.idx) > 6 AND abs({m}.idx - {p}.pi) > 6)",
+            3, "idx, mp, pi",
+        ).replace("WITH ", "WITH RECURSIVE ", 1),
     }
