@@ -3331,8 +3331,11 @@ def q_hll_users_estimate(sf_dir: str):
     sketch (p=12, ~1.6% typical error) — the cardinality path whose
     exchange is O(groups × batches) registers instead of ∝ distinct
     values (grouped_distinct_count / events_daily_users is the exact
-    twin). Deterministic registers → rows-only driver check; accuracy
-    and merge-invariance are pytest-gated."""
+    twin). UNDER THE DUCKDB ORACLE: splitmix64, the register ranks, the
+    exact-integer harmonic denominator and the fixed-order estimate
+    expression are all mirrored in SQL (_hll_sql), so the estimate
+    matches to the last bit; accuracy and merge-invariance stay
+    pytest-gated."""
     from matrixprofile_ray.stages.relational import hll_distinct
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
@@ -3601,6 +3604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_mpx_w24g_1h": q_profile_mpx_w24g_1h,
         "discords_w24g_1h": q_discords_w24g_1h,
         "motifs_w24g_1h": q_motifs_w24g_1h,
+        "hll_users_estimate": q_hll_users_estimate,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -3626,7 +3630,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_pages_1d": q_flagship_pages_1d,
         "giant_mpx": q_giant_mpx,
         "streaming_stampi_w24": q_streaming_stampi_w24,
-        "hll_users_estimate": q_hll_users_estimate,
     }
 
 
@@ -4308,6 +4311,76 @@ def _gap_mp_sql(w: int, ez: int, min_len: int) -> str:
                 SELECT event_type, i AS idx, dist AS mp, j AS pi
                 FROM rankedg WHERE rn = 1
             )"""
+
+
+def _hll_sql(p: int = 12) -> str:
+    """EXACT SQL mirror of stages.relational.hll_distinct at parameter p:
+    splitmix64 (mod-2^64 multiplies via 32-bit HUGEINT splits), register
+    index = top p hash bits, rank = 64-p minus bit_length of the low bits
+    plus 1 (bin() string length — no float log), register max per group,
+    and the bias-corrected estimate with the EXACT integer harmonic
+    denominator sum(2^(64-M_j)) that _hll_estimate computes — both sides
+    run the identical fixed-order float expression, so the estimate is
+    equal to the last bit, not approximately."""
+    m = 1 << p
+    M64 = 1 << 64
+    low = 1 << (64 - p)
+    maxrank = 64 - p + 1
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(a: str, c: int) -> str:
+        return (f"CAST(((((CAST({a} AS HUGEINT) >> 32) * {c}::HUGEINT)"
+                f" % 4294967296) * 4294967296"
+                f" + (CAST({a} AS HUGEINT) % 4294967296) * {c}::HUGEINT)"
+                f" % {M64} AS UBIGINT)")
+
+    def xs(z: str, s: int) -> str:
+        return f"xor({z}, ({z}) >> {s})"
+
+    return f"""
+        WITH hashedq AS (
+            SELECT event_type, xor(z2, z2 >> 31) AS h FROM (
+                SELECT event_type, {mulmod(xs('z1', 27), c3)} AS z2 FROM (
+                    SELECT event_type,
+                           {mulmod(xs('z0', 30), c2)} AS z1 FROM (
+                        SELECT event_type,
+                               CAST((CAST(CAST(user_id AS UBIGINT)
+                                          AS HUGEINT) + {c1}::HUGEINT)
+                                    % {M64} AS UBIGINT) AS z0
+                        FROM events
+                    )
+                )
+            )
+        ), rrq AS (
+            SELECT event_type, CAST(h >> {64 - p} AS BIGINT) AS idx,
+                   CASE WHEN (h % {low}) = 0 THEN {maxrank}
+                        ELSE {64 - p} - length(bin(h % {low})) + 1
+                   END AS rank
+            FROM hashedq
+        ), regsq AS (
+            SELECT event_type, idx, max(rank) AS mr
+            FROM rrq GROUP BY 1, 2
+        ), aggq AS (
+            SELECT event_type,
+                   SUM((1::HUGEINT << (64 - mr))) AS s_present,
+                   COUNT(*) AS n_regs
+            FROM regsq GROUP BY 1
+        ), estq AS (
+            SELECT event_type,
+                   (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0
+                   * 18446744073709551616.0
+                   / CAST(s_present
+                          + ({m} - n_regs)::HUGEINT * (1::HUGEINT << 64)
+                          AS DOUBLE) AS e,
+                   ({m} - n_regs) AS zeros
+            FROM aggq
+        )
+        SELECT event_type,
+               CAST(ROUND(CASE WHEN e <= {2.5 * m} AND zeros > 0
+                               THEN {m}.0 * ln({m}.0 / zeros)
+                               ELSE e END, 0) AS BIGINT) AS est
+        FROM estq ORDER BY event_type
+    """
 
 
 def _mstomp_sql() -> str:
@@ -5731,4 +5804,6 @@ def oracle_sql() -> dict[str, str]:
             "(abs({m}.idx - {p}.idx) > 6 AND abs({m}.idx - {p}.pi) > 6)",
             3, "idx, mp, pi",
         ).replace("WITH ", "WITH RECURSIVE ", 1),
+        # exact HyperLogLog mirror: splitmix64 + registers + estimate
+        "hll_users_estimate": _hll_sql(12),
     }

@@ -972,10 +972,25 @@ def hll_distinct(ds, group_col: str, distinct_col: str, p: int = 12):
 
 
 def _hll_estimate(regs: np.ndarray, m: int) -> int:
-    """Bias-corrected HLL estimate with the linear-counting fallback."""
+    """Bias-corrected HLL estimate with the linear-counting fallback.
+
+    The harmonic denominator sum(2^-M_j) is computed as the EXACT
+    integer sum(2^(64-M_j)) / 2^64 (ranks are <= 53, so every term is an
+    exact python int) — a float sum's result would depend on summation
+    order, which would make the estimate partition-order-sensitive in
+    the last ulp and un-mirrorable in SQL. The remaining float
+    expression is fixed-order and mirrored verbatim by the
+    hll_users_estimate oracle."""
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    denom = sum(
+        int(c) << (64 - int(r))
+        for r, c in zip(*np.unique(regs, return_counts=True))
+    )
+    e = alpha * m * m * 18446744073709551616.0 / float(denom)
     zeros = int(np.count_nonzero(regs == 0))
     if e <= 2.5 * m and zeros:
         e = m * np.log(m / zeros)  # small-range linear counting
-    return int(round(e))
+    # half-away-from-zero (SQL ROUND semantics; e >= 0). frac is exact:
+    # e - floor(e) of doubles >= 1 is a Sterbenz-safe subtraction.
+    f = float(np.floor(e))
+    return int(f) + (1 if e - f >= 0.5 else 0)
