@@ -3505,6 +3505,60 @@ def q_motifs_w24g_1h(sf_dir: str):
                         end_exclusive=False, mask_pair=True)
 
 
+def q_gorilla_bits_raw_1h(sf_dir: str):
+    """Gorilla codec BIT ACCOUNTING under the DuckDB oracle: the exact
+    encoded byte size of both retention-tier streams (XOR float values,
+    delta-of-delta timestamps) for each key's RAW hourly count series.
+
+    gorilla_ratio_1h's docstring used to claim the codec-internal bit
+    accounting "SQL cannot mirror" — it can: the counts are integers, so
+    their IEEE-754 bit patterns are pure integer expressions
+    (bin()-length exponent + shifted mantissa), XOR/lead/trail are
+    integer ops, and the sequential control-window state machine (reuse
+    '10' vs re-window '11') is a scalar-state recursive CTE; the
+    delta-of-delta class sizes are set-based. Both sides count the
+    identical bit stream, so val_bytes/ts_bytes match exactly — the
+    production C codec (parity-tested vs the Python reference loop) is
+    what runs here, with an in-task decode round-trip assert. The
+    gap-filled variant stays rows-only (imputed values are non-integer
+    doubles whose bit patterns SQL cannot extract)."""
+    from matrixprofile_ray.core.gorilla import (
+        gorilla_decode_floats,
+        gorilla_encode_floats,
+        timestamps_decode,
+        timestamps_encode,
+    )
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+    from matrixprofile_ray.util import partitioned_group_map
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+
+    def encode(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["event_type", "bucket_ts"], kind="stable")
+        rows = []
+        for k, g in part.groupby("event_type", sort=False):
+            c = g["count"].to_numpy(dtype="d")
+            b = g["bucket_ts"].to_numpy(dtype=np.int64)
+            enc_v = gorilla_encode_floats(c)
+            enc_t = timestamps_encode(b)
+            assert np.array_equal(gorilla_decode_floats(enc_v), c), k
+            assert np.array_equal(timestamps_decode(enc_t), b), k
+            rows.append({
+                "event_type": k,
+                "n": len(c),
+                "raw_bytes": 16 * len(c),
+                "val_bytes": len(enc_v),
+                "ts_bytes": len(enc_t),
+            })
+        return pd.DataFrame(rows)
+
+    df = partitioned_group_map(buckets, ["event_type"], encode).to_pandas()
+    for col in ("n", "raw_bytes", "val_bytes", "ts_bytes"):
+        df[col] = df[col].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Ordered: oracle-backed queries first (every entry below the
@@ -3605,6 +3659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discords_w24g_1h": q_discords_w24g_1h,
         "motifs_w24g_1h": q_motifs_w24g_1h,
         "hll_users_estimate": q_hll_users_estimate,
+        "gorilla_bits_raw_1h": q_gorilla_bits_raw_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4310,6 +4365,109 @@ def _gap_mp_sql(w: int, ez: int, min_len: int) -> str:
             ), mpqg AS (
                 SELECT event_type, i AS idx, dist AS mp, j AS pi
                 FROM rankedg WHERE rn = 1
+            )"""
+
+
+def _gorilla_bits_sql() -> str:
+    """EXACT bit-accounting mirror of core.gorilla (gorilla.py:72-191)
+    over each key's raw hourly count series. Value stream: IEEE-754 bits
+    of integer counts as pure integer SQL, XOR geometry via bin()
+    lengths (lead capped at 31 like the encoder), and the sequential
+    prev_lead/prev_len control window as a scalar-state recursive CTE —
+    '0' costs 1 bit, window-reuse '10' costs 2+prev_len, re-window '11'
+    costs 2+5+6+mbits. Timestamp stream: delta-of-delta class sizes
+    {1, 9, 12, 16, 68} bits, set-based. Byte size = ceil((32-bit header
+    + 64-bit first value [+ 64-bit first delta] + payload)/8)."""
+    return f"""
+            hz AS (
+                SELECT event_type, (epoch_us(ts) // {H1}) * {H1} AS b,
+                       count(*)::BIGINT AS c
+                FROM events GROUP BY 1, 2
+            ), seqz AS (
+                SELECT event_type, b, c,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY b
+                       ) - 1 AS pos,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM hz
+            ), fbz AS (
+                SELECT event_type, pos, n,
+                       (CAST(1023 + length(bin(CAST(c AS UBIGINT))) - 1
+                             AS UBIGINT) << 52)
+                       + ((CAST(c AS UBIGINT)
+                           << (52 - (length(bin(CAST(c AS UBIGINT))) - 1)))
+                          - (1::UBIGINT << 52)) AS bits
+                FROM seqz
+            ), xbz AS (
+                SELECT event_type, pos, n, x,
+                       CASE WHEN x = 0 THEN -1
+                            ELSE LEAST(64 - length(bin(x)), 31) END AS lead,
+                       CASE WHEN x = 0 THEN -1
+                            ELSE length(bin(x)) - length(rtrim(bin(x), '0'))
+                       END AS trail
+                FROM (
+                    SELECT event_type, pos, n,
+                           xor(bits, lag(bits) OVER (
+                               PARTITION BY event_type ORDER BY pos)) AS x
+                    FROM fbz
+                ) WHERE pos >= 1
+            ), recz AS (
+                SELECT event_type, 0::BIGINT AS pos, -1::BIGINT AS pl,
+                       0::BIGINT AS pn, 0::BIGINT AS acc
+                FROM seqz WHERE pos = 0
+                UNION ALL
+                SELECT r.event_type, r.pos + 1,
+                       CASE WHEN x.x = 0 THEN r.pl
+                            WHEN r.pl >= 0 AND x.lead >= r.pl
+                                 AND x.trail >= 64 - r.pl - r.pn THEN r.pl
+                            ELSE x.lead END,
+                       CASE WHEN x.x = 0 THEN r.pn
+                            WHEN r.pl >= 0 AND x.lead >= r.pl
+                                 AND x.trail >= 64 - r.pl - r.pn THEN r.pn
+                            ELSE 64 - x.lead - x.trail END,
+                       r.acc + CASE
+                           WHEN x.x = 0 THEN 1
+                           WHEN r.pl >= 0 AND x.lead >= r.pl
+                                AND x.trail >= 64 - r.pl - r.pn
+                               THEN 2 + r.pn
+                           ELSE 13 + (64 - x.lead - x.trail) END
+                FROM recz r JOIN xbz x
+                  ON x.event_type = r.event_type AND x.pos = r.pos + 1
+            ), vbitsz AS (
+                SELECT event_type, max_by(acc, pos) AS payload_bits
+                FROM recz GROUP BY event_type
+            ), tsdz AS (
+                SELECT event_type,
+                       d - lag(d) OVER (
+                           PARTITION BY event_type ORDER BY pos) AS dod
+                FROM (
+                    SELECT event_type, pos,
+                           b - lag(b) OVER (
+                               PARTITION BY event_type ORDER BY pos) AS d
+                    FROM seqz
+                ) WHERE d IS NOT NULL
+            ), tbitsz AS (
+                SELECT event_type,
+                       SUM(CASE WHEN dod = 0 THEN 1
+                                WHEN dod BETWEEN -64 AND 63 THEN 9
+                                WHEN dod BETWEEN -256 AND 255 THEN 12
+                                WHEN dod BETWEEN -2048 AND 2047 THEN 16
+                                ELSE 68 END) AS dod_bits
+                FROM tsdz WHERE dod IS NOT NULL GROUP BY event_type
+            ), gbits AS (
+                SELECT s.event_type, max(s.n) AS n,
+                       (max(s.n) * 16)::BIGINT AS raw_bytes,
+                       CAST(CEIL((32 + 64 + max(v.payload_bits)) / 8.0)
+                            AS BIGINT) AS val_bytes,
+                       CAST(CEIL((32 + 64
+                                  + CASE WHEN max(s.n) >= 2 THEN 64
+                                         ELSE 0 END
+                                  + COALESCE(max(t.dod_bits), 0)) / 8.0)
+                            AS BIGINT) AS ts_bytes
+                FROM seqz s
+                JOIN vbitsz v USING (event_type)
+                LEFT JOIN tbitsz t USING (event_type)
+                GROUP BY s.event_type
             )"""
 
 
@@ -5806,4 +5964,11 @@ def oracle_sql() -> dict[str, str]:
         ).replace("WITH ", "WITH RECURSIVE ", 1),
         # exact HyperLogLog mirror: splitmix64 + registers + estimate
         "hll_users_estimate": _hll_sql(12),
+        # exact Gorilla codec bit accounting (XOR control-window state
+        # machine as a scalar recursive CTE; dod classes set-based)
+        "gorilla_bits_raw_1h": f"""
+            WITH RECURSIVE {_gorilla_bits_sql()}
+            SELECT event_type, n, raw_bytes, val_bytes, ts_bytes
+            FROM gbits ORDER BY event_type
+        """,
     }
