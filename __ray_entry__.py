@@ -3505,6 +3505,85 @@ def q_motifs_w24g_1h(sf_dir: str):
                         end_exclusive=False, mask_pair=True)
 
 
+_MAXSUB_WINDOWS = (8, 16, 32, 64)   # 128+ would exceed DuckDB's 128-deep
+                                    # expression binder on the fold chain
+
+
+def q_max_subsequence_brute_1h(sf_dir: str):
+    """maximum_subsequence's DOUBLING PHASE under the DuckDB oracle
+    (reference skimp.py:246-320; the stepsize-refinement tail stays
+    pytest-gated as max_subsequence_1h): per key, the best Pearson
+    correlation at windows 8, 16, 32, 64 (capped — the same cap is in
+    the SQL, so both sides stop identically) while
+    w <= floor(n/2), stopping
+    after the first window whose max correlation drops below the 0.95
+    threshold — the evaluated prefix is returned as (event_type, w, corr,
+    passed). corr is the bit-mirrored brute z-window dot product (same
+    left-associated fold order as the SQL), so the pass/fail decisions
+    are bit-identical on both sides; the production ``core.mpx``
+    cross-correlation kernel is asserted in-task to agree within the
+    6-decimal rounding whenever no constant windows exist."""
+    import matrixprofile_ray.core as core
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+    from matrixprofile_ray.util import partitioned_group_map
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+
+    def search(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["event_type", "bucket_ts"], kind="stable")
+        rows = []
+        for key, g in part.groupby("event_type", sort=False):
+            c = g["count"].to_numpy(dtype="d")
+            for w in _MAXSUB_WINDOWS:
+                if w > len(c) // 2:
+                    break
+                idx, z = _zwin_any(c, w)
+                if not len(idx):
+                    break
+                # mirror corr: left-associated product fold / w
+                s = z[0][:, None] * z[0][None, :]
+                for k in range(1, w):
+                    s = s + z[k][:, None] * z[k][None, :]
+                r = s / float(w)
+                ez = int(np.ceil(w / 4))
+                r[np.abs(idx[:, None] - idx[None, :]) <= ez] = -np.inf
+                corr_raw = float(np.max(r))
+                if not np.isfinite(corr_raw):
+                    break       # no valid pair — SQL emits no row either
+                # production kernel link (exact candidate sets when no
+                # constant windows were dropped)
+                mp_prod, _ = core.mpx(c, w, cross_correlation=True)
+                finite = mp_prod[~np.isinf(mp_prod)]
+                if len(idx) == len(c) - w + 1 and len(finite):
+                    err = abs(float(np.max(finite)) - corr_raw)
+                    assert err < 5e-6, (
+                        f"core.mpx corr diverged from mirror on {key} "
+                        f"w={w}: {err}"
+                    )
+                passed = corr_raw > 0.95
+                rows.append({
+                    "event_type": key, "w": w,
+                    "corr": float(_round6_away_arr(corr_raw)),
+                    "passed": bool(passed),
+                })
+                if not passed:
+                    break
+        if not rows:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "w": pd.Series(dtype="int64"),
+                "corr": pd.Series(dtype="float64"),
+                "passed": pd.Series(dtype="bool"),
+            })
+        return pd.DataFrame(rows)
+
+    df = partitioned_group_map(buckets, ["event_type"], search).to_pandas()
+    df["w"] = df["w"].astype("int64")
+    df["passed"] = df["passed"].astype(bool)
+    return df.sort_values(["event_type", "w"]).reset_index(drop=True)
+
+
 def q_gorilla_bits_raw_1h(sf_dir: str):
     """Gorilla codec BIT ACCOUNTING under the DuckDB oracle: the exact
     encoded byte size of both retention-tier streams (XOR float values,
@@ -3660,6 +3739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motifs_w24g_1h": q_motifs_w24g_1h,
         "hll_users_estimate": q_hll_users_estimate,
         "gorilla_bits_raw_1h": q_gorilla_bits_raw_1h,
+        "max_subsequence_brute_1h": q_max_subsequence_brute_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4469,6 +4549,45 @@ def _gorilla_bits_sql() -> str:
                 LEFT JOIN tbitsz t USING (event_type)
                 GROUP BY s.event_type
             )"""
+
+
+def _maxsub_sql() -> str:
+    """maximum_subsequence doubling-phase mirror: per window w in the
+    capped doubling set, max Pearson correlation over non-trivial window
+    pairs (left-associated z-product fold / w, ez = ceil(w/4), evaluated
+    only while w <= floor(n/2)); the evaluated prefix keeps every window
+    whose strictly-smaller predecessors all passed the 0.95 threshold —
+    the first failing window is included, exactly like the engine's
+    break-after-append loop."""
+    chains, unions = [], []
+    for w in _MAXSUB_WINDOWS:
+        sfx = f"x{w}"
+        ez = -(-w // 4)
+        corr = _fold_add([f"a.z{k}*b.z{k}" for k in range(w)])
+        chains.append(f"""{_zwin_sql_any(w, sfx)}, cm{sfx} AS (
+                SELECT a.event_type, {w} AS w,
+                       max(({corr}) / {w}.0) AS corr
+                FROM z{sfx} a JOIN z{sfx} b
+                  ON a.event_type = b.event_type AND abs(a.i - b.i) > {ez}
+                WHERE a.n >= {2 * w}
+                GROUP BY a.event_type
+            )""")
+        unions.append(f"SELECT * FROM cmx{w}")
+    return f"""
+        WITH {", ".join(chains)}, allm AS (
+            {" UNION ALL ".join(unions)}
+        ), flagged AS (
+            SELECT event_type, w, corr, corr > 0.95 AS passed,
+                   min(CASE WHEN corr > 0.95 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY event_type ORDER BY w
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_ok
+            FROM allm
+        )
+        SELECT event_type, w, ROUND(corr, 6) AS corr, passed
+        FROM flagged WHERE prev_ok IS NULL OR prev_ok = 1
+        ORDER BY event_type, w
+    """
 
 
 def _hll_sql(p: int = 12) -> str:
@@ -5971,4 +6090,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n, raw_bytes, val_bytes, ts_bytes
             FROM gbits ORDER BY event_type
         """,
+        # maximum_subsequence doubling phase: evaluated-prefix windows
+        "max_subsequence_brute_1h": _maxsub_sql(),
     }
