@@ -2101,6 +2101,21 @@ def _zwin_any(c: np.ndarray, w: int):
     return idx, [d[keep] / sdk for d in ds]
 
 
+def _win_sd(c: np.ndarray, w: int) -> np.ndarray:
+    """Per-window population sd in the mirror's fold order — used to
+    detect ill-conditioned (near-constant) windows where z-normalization
+    amplifies kernel float differences past the rounding tolerance."""
+    cols = [c[k: len(c) - w + 1 + k] for k in range(w)]
+    s = cols[0]
+    for k in range(1, w):
+        s = s + cols[k]
+    mu = s / float(w)
+    v = (cols[0] - mu) * (cols[0] - mu)
+    for k in range(1, w):
+        v = v + (cols[k] - mu) * (cols[k] - mu)
+    return np.sqrt(v / float(w))
+
+
 def _brute_dist_any(za: list, zb: list) -> np.ndarray:
     e = za[0][:, None] - zb[0][None, :]
     s = e * e
@@ -3505,6 +3520,119 @@ def q_motifs_w24g_1h(sf_dir: str):
                         end_exclusive=False, mask_pair=True)
 
 
+_GAP_MP12_CACHE: dict = {}
+
+
+def _gap_mp12_df(sf_dir: str) -> pd.DataFrame:
+    """stomp-flavored twin of _gap_mp_df: brute w=24 mirror with stomp's
+    exclusion zone ez = ceil(24/2) = 12 over the noise-free gap-filled
+    series, production ``core.stomp`` asserted in-task. The strict
+    5e-6 link requires the series to be constant-free AND
+    well-conditioned at w=24: noise-free imputation converges long gap
+    runs to constant (or near-constant, sd ~ 1e-8) windows whose
+    z-normalization amplifies kernel/mirror float differences far past
+    the rounding tolerance — on such series (sf0.001's sparse keys) only
+    positional finiteness is checked; the noisy production pipeline
+    handles them by de-flattening (that is what add_noise is FOR)."""
+    if sf_dir in _GAP_MP12_CACHE:
+        return _GAP_MP12_CACHE[sf_dir]
+
+    def brute(batch: pd.DataFrame) -> pd.DataFrame:
+        import matrixprofile_ray.core as core
+
+        frames = []
+        for _, r in batch.iterrows():
+            key = r["event_type"]
+            c = np.asarray(r["values"], dtype="d")
+            res = _brute_mp_any(c, 24, ez=12, min_len=37)
+            if res is None:
+                continue
+            idx, mp, pi = res
+            prof = core.stomp(c, 24)
+            fmp = np.asarray(prof["mp"], dtype="d")[idx]
+            assert np.isfinite(fmp).all(), key
+            sd = _win_sd(c, 24)
+            if len(idx) == len(c) - 23 and float(np.min(sd)) > 1e-6:
+                err = float(np.max(np.abs(_round6_away_arr(fmp) - mp)))
+                assert err < 5e-6, (
+                    f"stomp(w=24) diverged from ez=12 gap-fill mirror on "
+                    f"{key}: {err}"
+                )
+            frames.append(pd.DataFrame({
+                "event_type": key, "idx": idx, "mp": mp, "pi": pi,
+            }))
+        if not frames:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "idx": pd.Series(dtype="int64"),
+                "mp": pd.Series(dtype="float64"),
+                "pi": pd.Series(dtype="int64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    df = _gap_series_ds(sf_dir).map_batches(
+        brute, batch_format="pandas", batch_size=2
+    ).to_pandas()
+    for c in ("idx", "pi"):
+        df[c] = df[c].astype("int64")
+    df = df.sort_values(["event_type", "idx"]).reset_index(drop=True)
+    _GAP_MP12_CACHE[sf_dir] = df
+    return df
+
+
+def q_profile_stomp_w24g_1h(sf_dir: str):
+    """PRODUCTION-WINDOW stomp over the gap-filled tier UNDER THE ORACLE
+    (ez = ceil(24/2) = 12 mirror; the noisy production variant stays
+    pytest-gated as profile_stomp_w24_1h)."""
+    return _gap_mp12_df(sf_dir).copy()
+
+
+def q_stampi_w24g_1h(sf_dir: str):
+    """PRODUCTION-WINDOW STAMPI over the gap-filled tier UNDER THE
+    ORACLE: bootstrap on the first 75% of each imputed series, append the
+    rest point-by-point; the incremental end state must equal batch stomp
+    (asserted in-task), which the ez=12 mirror gates — so the driver hash
+    covers the streaming path's end state at the production window."""
+    import matrixprofile_ray.core as core
+
+    mp = _gap_mp12_df(sf_dir)
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in batch.iterrows():
+            c = np.asarray(r["values"], dtype="d")
+            if len(c) < 37:
+                continue
+            split = max(int(len(c) * 0.75), 24)
+            state = core.stampi_init(c[:split], 24)
+            state = core.stampi_append_many(state, c[split:])
+            full = core.stomp(c, 24)
+            sm, fm = np.asarray(state["mp"]), np.asarray(full["mp"])
+            fin = np.isfinite(fm)
+            assert bool((np.isfinite(sm) == fin).all()), r["event_type"]
+            if float(np.min(_win_sd(c, 24))) > 1e-6:
+                # strict incremental==batch only on well-conditioned
+                # series (see _gap_mp12_df on near-constant imputed runs)
+                scale = max(float(np.max(fm[fin])), 1e-12)
+                err = float(np.max(np.abs(sm[fin] - fm[fin]))) / scale
+                assert err < 1e-3, (
+                    f"stampi(w=24) != batch stomp on "
+                    f"{r['event_type']}: {err}"
+                )
+            rows.append({"event_type": r["event_type"], "ok": True})
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"event_type": pd.Series(dtype="object"),
+             "ok": pd.Series(dtype="bool")})
+
+    checked = _gap_series_ds(sf_dir).map_batches(
+        check, batch_format="pandas", batch_size=2
+    ).to_pandas()
+    assert set(checked["event_type"]) >= set(mp["event_type"]), (
+        "stampi incremental check missed a key"
+    )
+    return mp.copy()
+
+
 _MAXSUB_WINDOWS = (8, 16, 32, 64)   # 128+ would exceed DuckDB's 128-deep
                                     # expression binder on the fold chain
 
@@ -3740,6 +3868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_estimate": q_hll_users_estimate,
         "gorilla_bits_raw_1h": q_gorilla_bits_raw_1h,
         "max_subsequence_brute_1h": q_max_subsequence_brute_1h,
+        "profile_stomp_w24g_1h": q_profile_stomp_w24g_1h,
+        "stampi_w24g_1h": q_stampi_w24g_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -6092,4 +6222,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # maximum_subsequence doubling phase: evaluated-prefix windows
         "max_subsequence_brute_1h": _maxsub_sql(),
+        # stomp / STAMPI end-state at the production window over the
+        # gap-filled tier: ez = ceil(24/2) = 12 mirror
+        "profile_stomp_w24g_1h": f"""
+            WITH RECURSIVE {_gap_mp_sql(24, 12, 37)}
+            SELECT event_type, idx, mp, pi FROM mpqg
+        """,
+        "stampi_w24g_1h": f"""
+            WITH RECURSIVE {_gap_mp_sql(24, 12, 37)}
+            SELECT event_type, idx, mp, pi FROM mpqg
+        """,
     }
