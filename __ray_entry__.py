@@ -2412,9 +2412,10 @@ def q_fluss_brute_1h(sf_dir: str):
     return _fluss_curve_df(_brute_mp_df(sf_dir))
 
 
-def _fluss_curve_df(mp: pd.DataFrame) -> pd.DataFrame:
+def _fluss_curve_df(mp: pd.DataFrame, w: int = 4) -> pd.DataFrame:
     """Corrected arc curve per type from a brute-MP frame (mirror of the
-    fluss SQL CTE chain; reference regimes.py:43-91 semantics)."""
+    fluss SQL CTE chain; reference regimes.py:43-91 semantics). Edge
+    positions (< w or >= n-w) are pinned to 1.0."""
     from matrixprofile_ray.stages.relational import _round6_away
 
     frames = []
@@ -2437,7 +2438,7 @@ def _fluss_curve_df(mp: pd.DataFrame) -> pd.DataFrame:
         fp = p.astype("d")
         ideal = -(a * (fp - fn / 2.0) * (fp - fn / 2.0)) + height
         cac = np.ones(n, dtype="d")
-        mid = (p >= 4) & (p < n - 4)
+        mid = (p >= w) & (p < n - w)
         cac[mid] = np.minimum(
             cross[mid].astype("d") / ideal[mid], 1.0
         )
@@ -3633,6 +3634,40 @@ def q_stampi_w24g_1h(sf_dir: str):
     return mp.copy()
 
 
+def q_fluss_w24g_1h(sf_dir: str):
+    """FLUSS corrected arc curve at the production window (w=24, edge
+    pinning < 24 / >= n-24) over the gap-filled tier, oracle-gated —
+    computed from the w=24 mpx-style mirror's neighbor index."""
+    return _fluss_curve_df(_gap_mp_df(sf_dir), w=24)
+
+
+def q_regimes_w24g_1h(sf_dir: str):
+    """Regime extraction at the production window over the gap-filled
+    tier UNDER THE ORACLE: 3 argmin picks over the w=24 arc curve with
+    the reference ez = 5*24 = 120 end-exclusive suppression;
+    core.extract_regimes asserted to pick identically on the same
+    rounded curve (stopping when suppression empties it)."""
+    import matrixprofile_ray.core as core
+
+    curve = _fluss_curve_df(_gap_mp_df(sf_dir), w=24)
+    rows = []
+    for key, g in curve.groupby("event_type", sort=True):
+        p = g["p"].to_numpy()
+        cac = g["cac"].to_numpy(dtype="d")
+        picks = _suppressed_picks(p, cac, p, 3, 120, largest=False,
+                                  end_exclusive=True, mask_pair=False)
+        prod = core.extract_regimes(cac, window_size=24, num_regimes=3)
+        assert [int(p[x]) for x in picks] == \
+            [int(v) for v in prod[: len(picks)]], key
+        for rank, x in enumerate(picks):
+            rows.append({"event_type": key, "rank": rank,
+                         "p": int(p[x]), "cac": float(cac[x])})
+    out = pd.DataFrame(rows)
+    out["rank"] = out["rank"].astype("int64")
+    out["p"] = out["p"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 _MAXSUB_WINDOWS = (8, 16, 32, 64)   # 128+ would exceed DuckDB's 128-deep
                                     # expression binder on the fold chain
 
@@ -3870,6 +3905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_subsequence_brute_1h": q_max_subsequence_brute_1h,
         "profile_stomp_w24g_1h": q_profile_stomp_w24g_1h,
         "stampi_w24g_1h": q_stampi_w24g_1h,
+        "fluss_w24g_1h": q_fluss_w24g_1h,
+        "regimes_w24g_1h": q_regimes_w24g_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4678,6 +4715,40 @@ def _gorilla_bits_sql() -> str:
                 JOIN vbitsz v USING (event_type)
                 LEFT JOIN tbitsz t USING (event_type)
                 GROUP BY s.event_type
+            )"""
+
+
+def _fluss_cac_sql_gap() -> str:
+    """FLUSS arc-curve chain over the gap-filled w=24 mirror (mpqg), edge
+    pinning at 24 — ends in cacgq(event_type, p, cross_count, cac)."""
+    return f"""{_gap_mp_sql(24, 6, 31)}, rwg AS (
+                SELECT event_type, idx, pi,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY idx
+                       ) - 1 AS p,
+                       count(*) OVER (PARTITION BY event_type) AS nk
+                FROM mpqg
+            ), arcsg AS (
+                SELECT a.event_type,
+                       LEAST(a.p, b.p) AS lo, GREATEST(a.p, b.p) AS hi
+                FROM rwg a JOIN rwg b
+                  ON a.event_type = b.event_type AND a.pi = b.idx
+            ), curveg AS (
+                SELECT w.event_type, w.p, w.nk, count(ar.lo) AS cross_count
+                FROM rwg w LEFT JOIN arcsg ar
+                  ON ar.event_type = w.event_type
+                 AND ar.lo < w.p AND w.p < ar.hi
+                GROUP BY 1, 2, 3
+            ), cacgq AS (
+                SELECT event_type, p, cross_count::BIGINT AS cross_count,
+                       ROUND(CASE WHEN p < 24 OR p >= nk - 24 THEN 1.0
+                             ELSE LEAST(
+                                 CAST(cross_count AS DOUBLE) /
+                                 (-(((nk/2.0) / ((nk/2.0)*(nk/2.0)))
+                                    * (p - nk/2.0) * (p - nk/2.0)) + nk/2.0),
+                                 1.0)
+                             END, 6) AS cac
+                FROM curveg
             )"""
 
 
@@ -6232,4 +6303,14 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE {_gap_mp_sql(24, 12, 37)}
             SELECT event_type, idx, mp, pi FROM mpqg
         """,
+        # FLUSS arc curve + regime picks at the production window
+        "fluss_w24g_1h": f"""
+            WITH RECURSIVE {_fluss_cac_sql_gap()}
+            SELECT event_type, p, cross_count, cac FROM cacgq
+        """,
+        "regimes_w24g_1h": _suppressed_topk_sql(
+            _fluss_cac_sql_gap(), "cacgq", "cac ASC, p ASC",
+            "({m}.p < {p}.p - 120 OR {m}.p >= {p}.p + 120)",
+            3, "p, cac",
+        ).replace("WITH ", "WITH RECURSIVE ", 1),
     }
