@@ -3634,6 +3634,71 @@ def q_stampi_w24g_1h(sf_dir: str):
     return mp.copy()
 
 
+def q_av_complexity_w24g_1h(sf_dir: str):
+    """Complexity annotation vector + corrected profile at the production
+    window over the gap-filled tier UNDER THE ORACLE. The mirror computes
+    the per-window sum of squared diffs as a direct left-associated
+    24-term fold (DuckDB's running SUM is segment-tree accumulated, so a
+    cumsum mirror would NOT be bit-identical on float inputs — measured);
+    production ``make_complexity_av`` (cumsum form) is asserted allclose
+    in-task. cmp = mp + (1 - av) * max(mp) over the w=24 mirror MP."""
+    from matrixprofile_ray.core.transform import make_complexity_av
+
+    mp = _gap_mp_df(sf_dir)
+
+    def mirror(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, r in batch.iterrows():
+            key = r["event_type"]
+            c = np.asarray(r["values"], dtype="d")
+            if len(c) < 24:
+                continue
+            d2 = np.diff(c) ** 2
+            s = d2[0: len(c) - 23]
+            for k in range(1, 23):
+                s = s + d2[k: len(c) - 23 + k]
+            raw = np.sqrt(s)
+            mn, mx = float(np.min(raw)), float(np.max(raw))
+            av = (np.zeros(len(raw)) if mx == 0 else (raw - mn) / mx)
+            prod = make_complexity_av(c, 24)
+            # 1e-6: the cumsum form cancels catastrophically on tiny
+            # window sums (near-constant imputed runs), sqrt amplifies —
+            # measured divergence ~1e-9 at sf0.001
+            assert np.allclose(av, prod, atol=1e-6), key
+            frames.append(pd.DataFrame({
+                "event_type": key,
+                "idx": np.arange(len(av), dtype=np.int64),
+                "av": av,
+            }))
+        if not frames:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "idx": pd.Series(dtype="int64"),
+                "av": pd.Series(dtype="float64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    avdf = _gap_series_ds(sf_dir).map_batches(
+        mirror, batch_format="pandas", batch_size=2
+    ).to_pandas()
+    frames = []
+    for key, g in mp.groupby("event_type", sort=True):
+        a = avdf[avdf["event_type"] == key].set_index("idx")["av"]
+        idx = g["idx"].to_numpy()
+        mpv = g["mp"].to_numpy(dtype="d")
+        mp_max = float(np.max(mpv))
+        av = a.reindex(idx).to_numpy(dtype="d")
+        cmp_ = mpv + (1.0 - av) * mp_max
+        frames.append(pd.DataFrame({
+            "event_type": key, "idx": idx,
+            "av": _round6_away_arr(av),
+            "cmp": _round6_away_arr(cmp_),
+        }))
+    out = pd.concat(frames, ignore_index=True)
+    out["idx"] = out["idx"].astype("int64")
+    return out.sort_values(["event_type", "idx"]).reset_index(drop=True)
+
+
 def q_fluss_w24g_1h(sf_dir: str):
     """FLUSS corrected arc curve at the production window (w=24, edge
     pinning < 24 / >= n-24) over the gap-filled tier, oracle-gated —
@@ -3907,6 +3972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stampi_w24g_1h": q_stampi_w24g_1h,
         "fluss_w24g_1h": q_fluss_w24g_1h,
         "regimes_w24g_1h": q_regimes_w24g_1h,
+        "av_complexity_w24g_1h": q_av_complexity_w24g_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -6302,6 +6368,35 @@ def oracle_sql() -> dict[str, str]:
         "stampi_w24g_1h": f"""
             WITH RECURSIVE {_gap_mp_sql(24, 12, 37)}
             SELECT event_type, idx, mp, pi FROM mpqg
+        """,
+        # complexity AV + corrected profile at the production window:
+        # direct left-associated 23-term diff² fold (NOT a running-sum
+        # mirror — DuckDB's windowed SUM is segment-tree accumulated)
+        "av_complexity_w24g_1h": f"""
+            WITH RECURSIVE {_gap_mp_sql(24, 6, 31)}, avcg AS (
+                SELECT event_type, i,
+                       sqrt({_fold_add([f"(c{k}-c{k-1})*(c{k}-c{k-1})"
+                                        for k in range(1, 24)])}) AS rawav
+                FROM wing WHERE c23 IS NOT NULL
+            ), avng AS (
+                SELECT event_type, i,
+                       CASE WHEN max(rawav) OVER (PARTITION BY event_type)
+                                 = 0
+                            THEN 0.0
+                            ELSE (rawav - min(rawav) OVER
+                                      (PARTITION BY event_type))
+                                 / max(rawav) OVER (PARTITION BY event_type)
+                       END AS av
+                FROM avcg
+            ), mxg AS (
+                SELECT event_type, max(mp) AS mp_max FROM mpqg GROUP BY 1
+            )
+            SELECT m.event_type, m.idx,
+                   ROUND(a.av, 6) AS av,
+                   ROUND(m.mp + (1.0 - a.av) * x.mp_max, 6) AS cmp
+            FROM mpqg m
+            JOIN avng a ON a.event_type = m.event_type AND a.i = m.idx
+            JOIN mxg x ON x.event_type = m.event_type
         """,
         # FLUSS arc curve + regime picks at the production window
         "fluss_w24g_1h": f"""
