@@ -3699,6 +3699,61 @@ def q_av_complexity_w24g_1h(sf_dir: str):
     return out.sort_values(["event_type", "idx"]).reset_index(drop=True)
 
 
+_PMP_WINDOWS = (8, 16, 24)
+
+
+def q_pmp_w24g_1h(sf_dir: str):
+    """Pan-matrix-profile (SKIMP fan-out) over the gap-filled tier UNDER
+    THE ORACLE: full MP rows at windows 8/16/24 (mpx-style ez =
+    ceil(w/4)), each window's brute mirror unioned; the production
+    ``core.mpx`` kernel is asserted per (key, window) exactly like
+    _gap_mp_df. The noisy fan-out through ProfileStage stays benched as
+    pmp_w24_1h."""
+
+    def brute(batch: pd.DataFrame) -> pd.DataFrame:
+        import matrixprofile_ray.core as core
+
+        frames = []
+        for _, r in batch.iterrows():
+            key = r["event_type"]
+            c = np.asarray(r["values"], dtype="d")
+            for w in _PMP_WINDOWS:
+                ez = -(-w // 4)
+                res = _brute_mp_any(c, w, ez=ez, min_len=w + ez + 1)
+                if res is None:
+                    continue
+                idx, mp, pi = res
+                mp_prod, _ = core.mpx(c, w)
+                prod_r = _round6_away_arr(mp_prod)[idx]
+                if len(idx) == len(c) - w + 1 \
+                        and float(np.min(_win_sd(c, w))) > 1e-6:
+                    err = float(np.max(np.abs(prod_r - mp)))
+                    assert err < 5e-6, (
+                        f"core.mpx(w={w}) diverged from PMP mirror on "
+                        f"{key}: {err}"
+                    )
+                frames.append(pd.DataFrame({
+                    "event_type": key, "w": w,
+                    "idx": idx, "mp": mp, "pi": pi,
+                }))
+        if not frames:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "w": pd.Series(dtype="int64"),
+                "idx": pd.Series(dtype="int64"),
+                "mp": pd.Series(dtype="float64"),
+                "pi": pd.Series(dtype="int64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    df = _gap_series_ds(sf_dir).map_batches(
+        brute, batch_format="pandas", batch_size=2
+    ).to_pandas()
+    for c in ("w", "idx", "pi"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["event_type", "w", "idx"]).reset_index(drop=True)
+
+
 def q_fluss_w24g_1h(sf_dir: str):
     """FLUSS corrected arc curve at the production window (w=24, edge
     pinning < 24 / >= n-24) over the gap-filled tier, oracle-gated —
@@ -3973,6 +4028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fluss_w24g_1h": q_fluss_w24g_1h,
         "regimes_w24g_1h": q_regimes_w24g_1h,
         "av_complexity_w24g_1h": q_av_complexity_w24g_1h,
+        "pmp_w24g_1h": q_pmp_w24g_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4552,7 +4608,7 @@ def _brute_mp_sql_any(w: int, ez: int, min_len: int, sfx: str = "",
             )"""
 
 
-def _impute_sql_cte() -> str:
+def _impute_sql_cte(sfx: str = "") -> str:
     """Recursive-CTE mirror of the windowed forward-mean gap-fill
     (core.preprocess.impute_missing, window=4, method=mean, forward —
     reference preprocess.py:140-222) over each key's dense hourly grid.
@@ -4566,77 +4622,77 @@ def _impute_sql_cte() -> str:
     reference's endpoint seeding is a no-op; head-window gaps (pos < 4)
     are filled set-based with the mean (ordered left-associated SUM /
     COUNT) of the window's finite entries, exactly like the engine's
-    vectorized head fill. Ends in iv(event_type, pos, c, n).
+    vectorized head fill. Ends in iv{sfx}(event_type, pos, c, n).
 
     Grid bound: the join against range(16384) caps the mirrored span at
     16384 buckets (the bench tables span 720); a longer engine series
     would drop rows and fail the row-count gate LOUDLY rather than
     silently diverge."""
     return f"""
-            hg AS (
+            hg{sfx} AS (
                 SELECT event_type, (epoch_us(ts) // {H1}) * {H1} AS b,
                        count(*)::DOUBLE AS c
                 FROM events GROUP BY 1, 2
-            ), boundsg AS (
+            ), boundsg{sfx} AS (
                 SELECT event_type, min(b) AS b0,
                        ((max(b) - min(b)) // {H1} + 1)::BIGINT AS n
-                FROM hg GROUP BY 1
-            ), gridg AS (
-                SELECT bo.event_type, gs.range::BIGINT AS pos, hg.c, bo.n
-                FROM boundsg bo
+                FROM hg{sfx} GROUP BY 1
+            ), gridg{sfx} AS (
+                SELECT bo.event_type, gs.range::BIGINT AS pos, hg{sfx}.c, bo.n
+                FROM boundsg{sfx} bo
                 JOIN range(16384) gs ON gs.range < bo.n
-                LEFT JOIN hg ON hg.event_type = bo.event_type
-                            AND (hg.b - bo.b0) // {H1} = gs.range
-            ), headfillg AS (
+                LEFT JOIN hg{sfx} ON hg{sfx}.event_type = bo.event_type
+                            AND (hg{sfx}.b - bo.b0) // {H1} = gs.range
+            ), headfillg{sfx} AS (
                 SELECT event_type,
                        SUM(CASE WHEN pos < 4 AND c IS NOT NULL THEN c END
                            ORDER BY pos) AS hsum,
                        COUNT(CASE WHEN pos < 4 AND c IS NOT NULL THEN c
                              END) AS hcnt
-                FROM gridg GROUP BY event_type
-            ), baseg AS (
+                FROM gridg{sfx} GROUP BY event_type
+            ), baseg{sfx} AS (
                 SELECT g.event_type,
                        list(CASE WHEN g.c IS NOT NULL THEN g.c
                                  WHEN g.pos < 4 THEN hf.hsum / hf.hcnt
                             END ORDER BY g.pos) AS l
-                FROM gridg g JOIN headfillg hf USING (event_type)
+                FROM gridg{sfx} g JOIN headfillg{sfx} hf USING (event_type)
                 GROUP BY g.event_type
-            ), gapsg AS (
+            ), gapsg{sfx} AS (
                 SELECT event_type, pos,
                        row_number() OVER (
                            PARTITION BY event_type ORDER BY pos
                        ) AS gi
-                FROM gridg WHERE c IS NULL AND pos >= 4
-            ), recg AS (
-                SELECT event_type, 0::BIGINT AS g, l FROM baseg
+                FROM gridg{sfx} WHERE c IS NULL AND pos >= 4
+            ), recg{sfx} AS (
+                SELECT event_type, 0::BIGINT AS g, l FROM baseg{sfx}
                 UNION ALL
                 SELECT r.event_type, r.g + 1,
                        r.l[1:gp.pos]
                        || [((r.l[gp.pos-2] + r.l[gp.pos-1])
                             + r.l[gp.pos]) / 3.0]
                        || r.l[gp.pos+2:]
-                FROM recg r JOIN gapsg gp
+                FROM recg{sfx} r JOIN gapsg{sfx} gp
                   ON gp.event_type = r.event_type AND gp.gi = r.g + 1
-            ), fing AS (
+            ), fing{sfx} AS (
                 SELECT event_type, l,
                        row_number() OVER (
                            PARTITION BY event_type ORDER BY g DESC
                        ) AS rn
-                FROM recg
-            ), iv AS (
+                FROM recg{sfx}
+            ), iv{sfx} AS (
                 SELECT f.event_type, g.pos, f.l[g.pos + 1] AS c, g.n
-                FROM fing f JOIN gridg g USING (event_type)
+                FROM fing{sfx} f JOIN gridg{sfx} g USING (event_type)
                 WHERE f.rn = 1
             )"""
 
 
-def _gap_mp_sql(w: int, ez: int, min_len: int) -> str:
+def _gap_mp_sql(w: int, ez: int, min_len: int, sfx: str = "") -> str:
     """Brute-MP chain over the IMPUTED series (gap-filled tier): the
     _impute_sql_cte recursion feeds the same left-associated z-window /
     distance expressions as _brute_mp_sql_any. Ends in
-    mpqg(event_type, idx, mp, pi). Callers must open WITH RECURSIVE."""
+    mpqg{sfx}(event_type, idx, mp, pi). Callers must open WITH RECURSIVE."""
     lead_cols = ",\n                       ".join(
-        f"lead(c, {k}) OVER wng AS c{k}" for k in range(1, w)
+        f"lead(c, {k}) OVER wng{sfx} AS c{k}" for k in range(1, w)
     )
     mu = _fold_add([f"c{k}" for k in range(w)]) + f" / {w}.0"
     dd = ",\n                       ".join(
@@ -4646,38 +4702,38 @@ def _gap_mp_sql(w: int, ez: int, min_len: int) -> str:
     zz = ",\n                       ".join(
         f"d{k} / sd AS z{k}" for k in range(w)
     )
-    return f"""{_impute_sql_cte()}, wing AS (
+    return f"""{_impute_sql_cte(sfx)}, wing{sfx} AS (
                 SELECT event_type, pos AS i, n, c AS c0,
                        {lead_cols}
-                FROM iv
-                WINDOW wng AS (PARTITION BY event_type ORDER BY pos)
-            ), zdg AS (
+                FROM iv{sfx}
+                WINDOW wng{sfx} AS (PARTITION BY event_type ORDER BY pos)
+            ), zdg{sfx} AS (
                 SELECT event_type, i, n, {dd}
                 FROM (
                     SELECT *, {mu} AS mu
-                    FROM wing WHERE c{w - 1} IS NOT NULL
+                    FROM wing{sfx} WHERE c{w - 1} IS NOT NULL
                 )
-            ), zg AS (
+            ), zg{sfx} AS (
                 SELECT event_type, i, n, {zz}
                 FROM (
-                    SELECT *, sqrt({var}) AS sd FROM zdg
+                    SELECT *, sqrt({var}) AS sd FROM zdg{sfx}
                 ) WHERE sd > 0
-            ), pairsg AS (
+            ), pairsg{sfx} AS (
                 SELECT a.event_type, a.i, b.i AS j,
                        ROUND({_dist_sql_any(w, "a", "b")}, 6) AS dist
-                FROM zg a JOIN zg b
+                FROM zg{sfx} a JOIN zg{sfx} b
                   ON a.event_type = b.event_type AND abs(a.i - b.i) > {ez}
                 WHERE a.n >= {min_len}
-            ), rankedg AS (
+            ), rankedg{sfx} AS (
                 SELECT event_type, i, j, dist,
                        row_number() OVER (
                            PARTITION BY event_type, i
                            ORDER BY dist ASC, j ASC
                        ) AS rn
-                FROM pairsg
-            ), mpqg AS (
+                FROM pairsg{sfx}
+            ), mpqg{sfx} AS (
                 SELECT event_type, i AS idx, dist AS mp, j AS pi
-                FROM rankedg WHERE rn = 1
+                FROM rankedg{sfx} WHERE rn = 1
             )"""
 
 
@@ -6397,6 +6453,20 @@ def oracle_sql() -> dict[str, str]:
             FROM mpqg m
             JOIN avng a ON a.event_type = m.event_type AND a.i = m.idx
             JOIN mxg x ON x.event_type = m.event_type
+        """,
+        # pan-matrix-profile over the gap-filled tier: per-window brute
+        # chains (suffixed so three impute recursions coexist) unioned
+        "pmp_w24g_1h": f"""
+            WITH RECURSIVE {_gap_mp_sql(8, 2, 11, "p8")},
+            {_gap_mp_sql(16, 4, 21, "p16")},
+            {_gap_mp_sql(24, 6, 31, "p24")}
+            SELECT * FROM (
+                SELECT event_type, 8 AS w, idx, mp, pi FROM mpqgp8
+                UNION ALL
+                SELECT event_type, 16 AS w, idx, mp, pi FROM mpqgp16
+                UNION ALL
+                SELECT event_type, 24 AS w, idx, mp, pi FROM mpqgp24
+            ) ORDER BY event_type, w, idx
         """,
         # FLUSS arc curve + regime picks at the production window
         "fluss_w24g_1h": f"""
