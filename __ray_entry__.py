@@ -3699,6 +3699,102 @@ def q_av_complexity_w24g_1h(sf_dir: str):
     return out.sort_values(["event_type", "idx"]).reset_index(drop=True)
 
 
+def q_mstomp_w24g_1h(sf_dir: str):
+    """2-dim mSTAMP at the production window over the gap-filled tier
+    UNDER THE ORACLE: both dimensions (hourly count, hourly integer
+    value sum) are dense-gridded on the shared observed buckets and
+    imputed with the production gap-fill (noise-free), then profiled by
+    the sorted-mean mirror at w=24, ez = ceil(24/2) = 12; production
+    ``core.mstomp`` asserted when no window was dropped and both dims
+    are well-conditioned. The noisy variant stays benched as
+    mstomp_w24_1h."""
+    from matrixprofile_ray.core.preprocess import impute_missing
+    from matrixprofile_ray.stages.relational import _mu_int64
+    from matrixprofile_ray.util import partitioned_group_map
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        import matrixprofile_ray.core as core
+
+        ts_us = part["ts"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({
+            "event_type": part["event_type"].to_numpy(),
+            "bucket_ts": (ts_us // H1) * H1,
+            "cnt": np.ones(len(part), dtype=np.int64),
+            "vsum": _mu_int64(part["value"].to_numpy(dtype="d"), 1.0),
+        }).groupby(["event_type", "bucket_ts"], as_index=False).sum()
+        rows = []
+        for key, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("bucket_ts")
+            b = grp["bucket_ts"].to_numpy(np.int64)
+            n = int((b[-1] - b[0]) // H1) + 1
+            pos = (b - b[0]) // H1
+            dims = []
+            for col in ("cnt", "vsum"):
+                dense = np.full(n, np.nan)
+                dense[pos] = grp[col].to_numpy(dtype="d")
+                dims.append(impute_missing(dense, 4)
+                            if n >= 4 else np.nan_to_num(dense))
+            ca, cb = dims
+            if len(ca) < 37:
+                continue
+            ia, za = _zwin_any(ca, 24)
+            ib, zb = _zwin_any(cb, 24)
+            common = np.intersect1d(ia, ib)
+            if len(common) < 2:
+                continue
+            sa = np.searchsorted(ia, common)
+            sb = np.searchsorted(ib, common)
+            da = _round6_away_arr(_brute_dist_any(
+                [z[sa] for z in za], [z[sa] for z in za]))
+            db = _round6_away_arr(_brute_dist_any(
+                [z[sb] for z in zb], [z[sb] for z in zb]))
+            excl = np.abs(common[:, None] - common[None, :]) <= 12
+            m0 = np.minimum(da, db)
+            m1 = _round6_away_arr((da + db) / 2.0)
+            m0[excl] = np.inf
+            m1[excl] = np.inf
+            res0 = _rank_min(m0, common, common)   # idempotent re-round
+            res1 = _rank_min(m1, common, common)
+            no_drop = (len(common) == len(ca) - 23)
+            well = (float(np.min(_win_sd(ca, 24))) > 1e-6
+                    and float(np.min(_win_sd(cb, 24))) > 1e-6)
+            if no_drop and well:
+                prof = core.mstomp(np.vstack([ca, cb]), 24)
+                for k, res in ((0, res0), (1, res1)):
+                    idx, mp, _ = res
+                    prod = np.asarray(prof["mp"][k], dtype="d")[idx]
+                    ok = np.isfinite(prod)
+                    err = float(np.max(np.abs(
+                        _round6_away_arr(prod[ok]) - mp[ok]
+                    ))) if ok.any() else 0.0
+                    assert err < 5e-6, (
+                        f"mstomp(w=24) k={k} diverged on {key}: {err}")
+            for k, res in ((0, res0), (1, res1)):
+                idx, mp, pi = res
+                for t in range(len(idx)):
+                    rows.append({
+                        "event_type": key, "k": k, "idx": int(idx[t]),
+                        "mp": float(mp[t]), "pi": int(pi[t]),
+                    })
+        if not rows:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "k": pd.Series(dtype="int64"),
+                "idx": pd.Series(dtype="int64"),
+                "mp": pd.Series(dtype="float64"),
+                "pi": pd.Series(dtype="int64"),
+            })
+        return pd.DataFrame(rows)
+
+    df = partitioned_group_map(ds, ["event_type"], fold).to_pandas()
+    for col in ("k", "idx", "pi"):
+        df[col] = df[col].astype("int64")
+    return df.sort_values(["event_type", "k", "idx"]).reset_index(drop=True)
+
+
 _PMP_WINDOWS = (8, 16, 24)
 
 
@@ -4029,6 +4125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regimes_w24g_1h": q_regimes_w24g_1h,
         "av_complexity_w24g_1h": q_av_complexity_w24g_1h,
         "pmp_w24g_1h": q_pmp_w24g_1h,
+        "mstomp_w24g_1h": q_mstomp_w24g_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4608,7 +4705,8 @@ def _brute_mp_sql_any(w: int, ez: int, min_len: int, sfx: str = "",
             )"""
 
 
-def _impute_sql_cte(sfx: str = "") -> str:
+def _impute_sql_cte(sfx: str = "",
+                    value_sql: str = "count(*)::DOUBLE") -> str:
     """Recursive-CTE mirror of the windowed forward-mean gap-fill
     (core.preprocess.impute_missing, window=4, method=mean, forward —
     reference preprocess.py:140-222) over each key's dense hourly grid.
@@ -4631,7 +4729,7 @@ def _impute_sql_cte(sfx: str = "") -> str:
     return f"""
             hg{sfx} AS (
                 SELECT event_type, (epoch_us(ts) // {H1}) * {H1} AS b,
-                       count(*)::DOUBLE AS c
+                       {value_sql} AS c
                 FROM events GROUP BY 1, 2
             ), boundsg{sfx} AS (
                 SELECT event_type, min(b) AS b0,
@@ -4686,11 +4784,10 @@ def _impute_sql_cte(sfx: str = "") -> str:
             )"""
 
 
-def _gap_mp_sql(w: int, ez: int, min_len: int, sfx: str = "") -> str:
-    """Brute-MP chain over the IMPUTED series (gap-filled tier): the
-    _impute_sql_cte recursion feeds the same left-associated z-window /
-    distance expressions as _brute_mp_sql_any. Ends in
-    mpqg{sfx}(event_type, idx, mp, pi). Callers must open WITH RECURSIVE."""
+def _gap_zwin_sql(w: int, sfx: str) -> str:
+    """Window/z chain over an imputed series iv{sfx}(event_type, pos, c,
+    n) — ends in zg{sfx}(event_type, i, n, z0..z{w-1}); wing{sfx} keeps
+    the raw window columns c0..c{w-1} for AV-style consumers."""
     lead_cols = ",\n                       ".join(
         f"lead(c, {k}) OVER wng{sfx} AS c{k}" for k in range(1, w)
     )
@@ -4702,7 +4799,7 @@ def _gap_mp_sql(w: int, ez: int, min_len: int, sfx: str = "") -> str:
     zz = ",\n                       ".join(
         f"d{k} / sd AS z{k}" for k in range(w)
     )
-    return f"""{_impute_sql_cte(sfx)}, wing{sfx} AS (
+    return f"""wing{sfx} AS (
                 SELECT event_type, pos AS i, n, c AS c0,
                        {lead_cols}
                 FROM iv{sfx}
@@ -4718,7 +4815,15 @@ def _gap_mp_sql(w: int, ez: int, min_len: int, sfx: str = "") -> str:
                 FROM (
                     SELECT *, sqrt({var}) AS sd FROM zdg{sfx}
                 ) WHERE sd > 0
-            ), pairsg{sfx} AS (
+            )"""
+
+
+def _gap_mp_sql(w: int, ez: int, min_len: int, sfx: str = "") -> str:
+    """Brute-MP chain over the IMPUTED series (gap-filled tier): the
+    _impute_sql_cte recursion feeds the same left-associated z-window /
+    distance expressions as _brute_mp_sql_any. Ends in
+    mpqg{sfx}(event_type, idx, mp, pi). Callers must open WITH RECURSIVE."""
+    return f"""{_impute_sql_cte(sfx)}, {_gap_zwin_sql(w, sfx)}, pairsg{sfx} AS (
                 SELECT a.event_type, a.i, b.i AS j,
                        ROUND({_dist_sql_any(w, "a", "b")}, 6) AS dist
                 FROM zg{sfx} a JOIN zg{sfx} b
@@ -4838,6 +4943,62 @@ def _gorilla_bits_sql() -> str:
                 LEFT JOIN tbitsz t USING (event_type)
                 GROUP BY s.event_type
             )"""
+
+
+def _mstomp_w24g_sql() -> str:
+    """2-dim mSTAMP mirror over the gap-filled tier: per-dim recursive
+    imputations (count sfx 'ga', integer value-sum sfx 'gb') + w=24
+    z-windows, window kept iff BOTH dims non-constant, ez = 12; row k
+    ranks the mean of the (k+1) smallest per-dim rounded distances."""
+    w = 24
+    vsum = "CAST(sum(CAST(round(value) AS BIGINT)) AS DOUBLE)"
+    da = "sqrt(" + _fold_add(
+        [f"(a.az{k}-b.az{k})*(a.az{k}-b.az{k})" for k in range(w)]
+    ) + ")"
+    db = "sqrt(" + _fold_add(
+        [f"(a.bz{k}-b.bz{k})*(a.bz{k}-b.bz{k})" for k in range(w)]
+    ) + ")"
+    acols = ", ".join(f"za.z{k} AS az{k}" for k in range(w))
+    bcols = ", ".join(f"zb.z{k} AS bz{k}" for k in range(w))
+    return f"""
+        WITH RECURSIVE {_impute_sql_cte('ga')},
+        {_impute_sql_cte('gb', vsum)},
+        {_gap_zwin_sql(w, 'ga')}, {_gap_zwin_sql(w, 'gb')},
+        kwg AS (
+            SELECT za.event_type, za.i, za.n, {acols}, {bcols}
+            FROM zgga za JOIN zggb zb
+              ON za.event_type = zb.event_type AND za.i = zb.i
+        ), mpg_pairs AS (
+            SELECT a.event_type, a.i, b.i AS j,
+                   ROUND({da}, 6) AS dista,
+                   ROUND({db}, 6) AS distb
+            FROM kwg a JOIN kwg b
+              ON a.event_type = b.event_type AND abs(a.i - b.i) > 12
+            WHERE a.n >= 37
+        ), mdg AS (
+            SELECT event_type, i, j,
+                   LEAST(dista, distb) AS m0,
+                   ROUND((dista + distb) / 2.0, 6) AS m1
+            FROM mpg_pairs
+        ), r0g AS (
+            SELECT event_type, i, j, m0,
+                   row_number() OVER (PARTITION BY event_type, i
+                                      ORDER BY m0 ASC, j ASC) AS rn
+            FROM mdg
+        ), r1g AS (
+            SELECT event_type, i, j, m1,
+                   row_number() OVER (PARTITION BY event_type, i
+                                      ORDER BY m1 ASC, j ASC) AS rn
+            FROM mdg
+        )
+        SELECT * FROM (
+            SELECT event_type, 0 AS k, i AS idx, m0 AS mp, j AS pi
+            FROM r0g WHERE rn = 1
+            UNION ALL
+            SELECT event_type, 1 AS k, i AS idx, m1 AS mp, j AS pi
+            FROM r1g WHERE rn = 1
+        ) ORDER BY event_type, k, idx
+    """
 
 
 def _fluss_cac_sql_gap() -> str:
@@ -6468,6 +6629,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, 24 AS w, idx, mp, pi FROM mpqgp24
             ) ORDER BY event_type, w, idx
         """,
+        # 2-dim mSTAMP over the gap-filled tier (both dims imputed)
+        "mstomp_w24g_1h": _mstomp_w24g_sql(),
         # FLUSS arc curve + regime picks at the production window
         "fluss_w24g_1h": f"""
             WITH RECURSIVE {_fluss_cac_sql_gap()}
