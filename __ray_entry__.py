@@ -3699,6 +3699,103 @@ def q_av_complexity_w24g_1h(sf_dir: str):
     return out.sort_values(["event_type", "idx"]).reset_index(drop=True)
 
 
+def _gap_series_pandas(sf_dir: str) -> dict[str, np.ndarray]:
+    """Noise-free gap-filled 1h count series per key as a driver dict —
+    key cardinality is bounded (5 types); pair-loop consumers only."""
+    df = _gap_series_ds(sf_dir).to_pandas()
+    return {str(r["event_type"]): np.asarray(r["values"], dtype="d")
+            for _, r in df.iterrows()}
+
+
+def q_mpdist_pairs_w24g_1h(sf_dir: str):
+    """MPDist per type pair at the production window over the gap-filled
+    tier UNDER THE ORACLE: k-th order statistic (k = ceil(0.05·(n_a+n_b)))
+    of the concatenated AB/BA w=24 brute join profiles on the imputed
+    series; core.mpdist asserted on well-conditioned drop-free pairs.
+    The distributed pair-exchange production variant stays benched as
+    mpdist_pairs_w24_1h."""
+    import matrixprofile_ray.core as core
+
+    series = _gap_series_pandas(sf_dir)
+    keys = sorted(series)
+    rows = []
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            ca, cb = series[keys[i]], series[keys[j]]
+            if len(ca) < 24 or len(cb) < 24:
+                continue
+            ia, za = _zwin_any(ca, 24)
+            ib, zb = _zwin_any(cb, 24)
+            if not len(ia) or not len(ib):
+                continue
+            dr = _round6_away_arr(_brute_dist_any(za, zb))
+            data = np.sort(np.concatenate([dr.min(axis=1),
+                                           dr.min(axis=0)]))
+            upper = int(np.ceil(0.05 * (len(ca) + len(cb)))) - 1
+            val = float(data[min(len(data) - 1, upper)])
+            if (len(ia) == len(ca) - 23 and len(ib) == len(cb) - 23
+                    and float(np.min(_win_sd(ca, 24))) > 1e-6
+                    and float(np.min(_win_sd(cb, 24))) > 1e-6):
+                prod = core.mpdist(ca, cb, 24)
+                assert abs(prod - val) < 2e-6, (keys[i], keys[j])
+            rows.append({"a": keys[i], "b": keys[j], "mpdist": val})
+    return pd.DataFrame(rows).sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_ab_join_w24g_1h(sf_dir: str):
+    """AB similarity join at the production window over the gap-filled
+    tier UNDER THE ORACLE: each key's imputed w=24 windows vs the
+    '__all__' traffic series (all events rolled up under one key, same
+    noise-free gap-fill), nearest neighbor with no exclusion zone;
+    core.mpx_ab asserted on well-conditioned drop-free pairs. The
+    broadcast production variant stays benched as ab_join_w24_1h."""
+    import duckdb
+
+    import matrixprofile_ray.core as core
+
+    series = _gap_series_pandas(sf_dir)
+    # the __all__ series: same rollup + gap-fill with a constant key
+    from matrixprofile_ray.core.preprocess import impute_missing
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT (epoch_us(ts) // {H1}) * {H1} AS b, count(*)::DOUBLE c "
+        f"FROM read_parquet(?) GROUP BY 1 ORDER BY 1",
+        [os.path.join(sf_dir, "events.parquet")],
+    ).df()
+    con.close()
+    b = df["b"].to_numpy(np.int64)
+    n = int((b[-1] - b[0]) // H1) + 1
+    dense = np.full(n, np.nan)
+    dense[(b - b[0]) // H1] = df["c"].to_numpy("d")
+    call = impute_missing(dense, 4) if n >= 4 else np.nan_to_num(dense)
+
+    ib, zb = _zwin_any(call, 24)
+    frames = []
+    for key in sorted(series):
+        ca = series[key]
+        if len(ca) < 24 or not len(ib):
+            continue
+        ia, za = _zwin_any(ca, 24)
+        if not len(ia):
+            continue
+        idx, mp, pi = _rank_min(_brute_dist_any(za, zb), ia, ib)
+        if (len(ia) == len(ca) - 23 and len(ib) == len(call) - 23
+                and float(np.min(_win_sd(ca, 24))) > 1e-6
+                and float(np.min(_win_sd(call, 24))) > 1e-6):
+            mpa, _, _, _ = core.mpx_ab(ca, call, 24)
+            prod_r = _round6_away_arr(np.asarray(mpa, dtype="d"))
+            err = float(np.max(np.abs(prod_r - mp)))
+            assert err < 5e-6, f"mpx_ab(w=24) diverged on {key}: {err}"
+        frames.append(pd.DataFrame({
+            "event_type": key, "idx": idx, "mp": mp, "pi": pi,
+        }))
+    out = pd.concat(frames, ignore_index=True)
+    for col in ("idx", "pi"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values(["event_type", "idx"]).reset_index(drop=True)
+
+
 def q_mstomp_w24g_1h(sf_dir: str):
     """2-dim mSTAMP at the production window over the gap-filled tier
     UNDER THE ORACLE: both dimensions (hourly count, hourly integer
@@ -4126,6 +4223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "av_complexity_w24g_1h": q_av_complexity_w24g_1h,
         "pmp_w24g_1h": q_pmp_w24g_1h,
         "mstomp_w24g_1h": q_mstomp_w24g_1h,
+        "mpdist_pairs_w24g_1h": q_mpdist_pairs_w24g_1h,
+        "ab_join_w24g_1h": q_ab_join_w24g_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -4706,7 +4805,8 @@ def _brute_mp_sql_any(w: int, ez: int, min_len: int, sfx: str = "",
 
 
 def _impute_sql_cte(sfx: str = "",
-                    value_sql: str = "count(*)::DOUBLE") -> str:
+                    value_sql: str = "count(*)::DOUBLE",
+                    key_sql: str = "event_type") -> str:
     """Recursive-CTE mirror of the windowed forward-mean gap-fill
     (core.preprocess.impute_missing, window=4, method=mean, forward —
     reference preprocess.py:140-222) over each key's dense hourly grid.
@@ -4728,7 +4828,8 @@ def _impute_sql_cte(sfx: str = "",
     silently diverge."""
     return f"""
             hg{sfx} AS (
-                SELECT event_type, (epoch_us(ts) // {H1}) * {H1} AS b,
+                SELECT {key_sql} AS event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS b,
                        {value_sql} AS c
                 FROM events GROUP BY 1, 2
             ), boundsg{sfx} AS (
@@ -6631,6 +6732,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         # 2-dim mSTAMP over the gap-filled tier (both dims imputed)
         "mstomp_w24g_1h": _mstomp_w24g_sql(),
+        # MPDist per type pair at w=24 over the imputed series
+        "mpdist_pairs_w24g_1h": f"""
+            WITH RECURSIVE {_impute_sql_cte('gm')},
+            {_gap_zwin_sql(24, 'gm')}, cross_dgm AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                       a.i AS i, b.i AS j,
+                       ROUND({_dist_sql_any(24)}, 6) AS dist
+                FROM zggm a JOIN zggm b ON a.event_type < b.event_type
+            ), abgm AS (
+                SELECT ta, tb, i, min(dist) AS d
+                FROM cross_dgm GROUP BY 1, 2, 3
+            ), bagm AS (
+                SELECT ta, tb, j, min(dist) AS d
+                FROM cross_dgm GROUP BY 1, 2, 3
+            ), ugm AS (
+                SELECT ta, tb, d FROM abgm
+                UNION ALL SELECT ta, tb, d FROM bagm
+            ), sizesgm AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                       a.n AS na, b.n AS nb
+                FROM (SELECT DISTINCT event_type, n FROM ivgm) a
+                JOIN (SELECT DISTINCT event_type, n FROM ivgm) b
+                  ON a.event_type < b.event_type
+            ), rankedgm AS (
+                SELECT ta, tb, d,
+                       row_number() OVER (PARTITION BY ta, tb
+                                          ORDER BY d ASC) AS rn,
+                       count(*) OVER (PARTITION BY ta, tb) AS cnt
+                FROM ugm
+            )
+            SELECT r.ta AS a, r.tb AS b, r.d AS mpdist
+            FROM rankedgm r JOIN sizesgm s ON r.ta = s.ta AND r.tb = s.tb
+            WHERE r.rn = LEAST(
+                r.cnt, CAST(ceil(0.05 * (s.na + s.nb)) AS BIGINT))
+            ORDER BY a, b
+        """,
+        # AB join at w=24: each key's imputed windows vs the '__all__'
+        # traffic series (its own recursive imputation, constant key)
+        "ab_join_w24g_1h": f"""
+            WITH RECURSIVE {_impute_sql_cte('gj')},
+            {_impute_sql_cte('gk', key_sql="'__all__'")},
+            {_gap_zwin_sql(24, 'gj')}, {_gap_zwin_sql(24, 'gk')},
+            pairsgj AS (
+                SELECT a.event_type, a.i, b.i AS j,
+                       ROUND({_dist_sql_any(24)}, 6) AS dist
+                FROM zggj a CROSS JOIN zggk b
+            ), rankedgj AS (
+                SELECT event_type, i, j, dist,
+                       row_number() OVER (
+                           PARTITION BY event_type, i
+                           ORDER BY dist ASC, j ASC
+                       ) AS rn
+                FROM pairsgj
+            )
+            SELECT event_type, i AS idx, dist AS mp, j AS pi
+            FROM rankedgj WHERE rn = 1
+            ORDER BY event_type, idx
+        """,
         # FLUSS arc curve + regime picks at the production window
         "fluss_w24g_1h": f"""
             WITH RECURSIVE {_fluss_cac_sql_gap()}
