@@ -3699,6 +3699,52 @@ def q_av_complexity_w24g_1h(sf_dir: str):
     return out.sort_values(["event_type", "idx"]).reset_index(drop=True)
 
 
+def q_streaming_stampi_w24g(sf_dir: str):
+    """Sharded streaming STAMPI stage at the production window over the
+    gap-filled tier UNDER THE ORACLE: the noise-free imputed series are
+    fed in 4 ordered micro-batches through StreamingProfiler(w=24); each
+    key's final snapshot must match the ez=12 brute mirror (the same SQL
+    profile_stomp_w24g_1h is gated by) — asserted on well-conditioned
+    constant-free series (see _gap_mp12_df), positional finiteness
+    checked always. The noisy stream stays pytest-gated as
+    streaming_stampi_w24."""
+    from matrixprofile_ray.state.streaming import StreamingProfiler
+
+    series = _gap_series_pandas(sf_dir)
+    mirror = _gap_mp12_df(sf_dir)
+    prof = StreamingProfiler(window=24, num_shards=2)
+    try:
+        chunks = 4
+        for ci in range(chunks):
+            frames = []
+            for key in sorted(series):
+                v = series[key]
+                lo = ci * len(v) // chunks
+                hi = (ci + 1) * len(v) // chunks
+                frames.append(pd.DataFrame({
+                    "key": key, "value": v[lo:hi],
+                    "ts": np.arange(lo, hi, dtype=np.int64),
+                }))
+            prof.update(pd.concat(frames), ts_col="ts")
+        snap = prof.snapshot().set_index("key")
+        for key, g in mirror.groupby("event_type", sort=True):
+            c = series[str(key)]
+            idx = g["idx"].to_numpy()
+            mp = g["mp"].to_numpy(dtype="d")
+            smp = np.asarray(snap.loc[str(key), "mp"], dtype="d")[idx]
+            assert np.isfinite(smp).all(), key
+            if len(idx) == len(c) - 23 and \
+                    float(np.min(_win_sd(c, 24))) > 1e-6:
+                err = float(np.max(np.abs(_round6_away_arr(smp) - mp)))
+                assert err < 5e-6, (
+                    f"streaming stampi(w=24) diverged from ez=12 mirror "
+                    f"on {key}: {err}"
+                )
+        return mirror.copy()
+    finally:
+        prof.shutdown()
+
+
 def _gap_series_pandas(sf_dir: str) -> dict[str, np.ndarray]:
     """Noise-free gap-filled 1h count series per key as a driver dict —
     key cardinality is bounded (5 types); pair-loop consumers only."""
@@ -4225,6 +4271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mstomp_w24g_1h": q_mstomp_w24g_1h,
         "mpdist_pairs_w24g_1h": q_mpdist_pairs_w24g_1h,
         "ab_join_w24g_1h": q_ab_join_w24g_1h,
+        "streaming_stampi_w24g": q_streaming_stampi_w24g,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -6684,6 +6731,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, idx, mp, pi FROM mpqg
         """,
         "stampi_w24g_1h": f"""
+            WITH RECURSIVE {_gap_mp_sql(24, 12, 37)}
+            SELECT event_type, idx, mp, pi FROM mpqg
+        """,
+        # the sharded streaming stage's end state at w=24 — same mirror
+        "streaming_stampi_w24g": f"""
             WITH RECURSIVE {_gap_mp_sql(24, 12, 37)}
             SELECT event_type, idx, mp, pi FROM mpqg
         """,
