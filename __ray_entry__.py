@@ -1302,13 +1302,15 @@ def q_embedding_neardup(sf_dir: str):
 
 def q_multimodal_features(sf_dir: str):
     """Binary media columns through the REAL codec path: deterministic
-    BMP / baseline-JPEG images, PCM WAV tracks and MJPEG-AVI clips are
-    synthesized from each doc's id+text, then decoded (pure-Python
-    BMP/WAV/RIFF-AVI parsers + the pure-numpy JPEG codec,
-    stages/jpeg.py) and feature-extracted by the actor-pool stage with
+    BMP / baseline-JPEG / PNG / GIF images, PCM WAV tracks and
+    MJPEG-AVI clips are synthesized from each doc's id+text, then
+    decoded (pure-Python BMP/WAV/RIFF-AVI/GIF-LZW parsers + the
+    pure-numpy JPEG and PNG codecs, stages/jpeg.py, stages/png.py,
+    stages/gif.py) and feature-extracted by the actor-pool stage with
     ``fake=False`` (videos: poster-frame features)."""
     import pyarrow as pa
 
+    from matrixprofile_ray.stages.gif import encode_gif
     from matrixprofile_ray.stages.jpeg import encode_jpeg
     from matrixprofile_ray.stages.multimodal import (
         DecodeStage,
@@ -1316,6 +1318,7 @@ def q_multimodal_features(sf_dir: str):
         encode_bmp,
         encode_wav,
     )
+    from matrixprofile_ray.stages.png import encode_png
 
     def attach_real_media(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -1323,16 +1326,28 @@ def q_multimodal_features(sf_dir: str):
         payloads, kinds, mimes = [], [], []
         for i, t in zip(ids, texts):
             rng = np.random.default_rng(i)
-            if i % 3 == 1:
+            if i % 6 == 1:
                 px = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
                 payloads.append(encode_bmp(px))
                 kinds.append("image")
                 mimes.append("image/bmp")
-            elif i % 3 == 2:
+            elif i % 6 in (2, 5):
                 px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
                 payloads.append(encode_jpeg(px, quality=85))
                 kinds.append("image")
                 mimes.append("image/jpeg")
+            elif i % 6 == 3:
+                px = rng.integers(0, 256, size=(14, 11, 3), dtype=np.uint8)
+                payloads.append(encode_png(
+                    px, filter_type=lambda y: y % 5))
+                kinds.append("image")
+                mimes.append("image/png")
+            elif i % 12 == 4:
+                pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+                idx = rng.integers(0, 8, size=(13, 10), dtype=np.uint8)
+                payloads.append(encode_gif([pal[idx]]))
+                kinds.append("image")
+                mimes.append("image/gif")
             elif i % 6 == 0:
                 frames = [
                     rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)

@@ -8,11 +8,15 @@ layout — is real and tested. Codecs:
   checksum-seeded feature vector) so pipelines are testable end-to-end.
 - ``DecodeStage(fake=False)`` REALLY decodes the formats a pure-Python
   parser can own — uncompressed 24-bit BMP (``image/bmp``), 16-bit PCM
-  WAV (``audio/wav``), baseline JPEG (``image/jpeg``, see
-  ``stages/jpeg.py`` — full pure-numpy DCT/Huffman codec) and, since
-  round 4, MJPEG-in-AVI video (``video/x-msvideo``: RIFF walker +
-  per-frame JPEG; ``sample_video_frames`` selects frames BEFORE any
-  pixel work) — and extracts grid-mean / windowed-RMS features.
+  WAV (``audio/wav``), baseline + progressive JPEG (``image/jpeg``, see
+  ``stages/jpeg.py`` — full pure-numpy DCT/Huffman codec, 4:4:4 /
+  4:2:0 / 4:2:2 / 4:4:0), PNG (``image/png``, see ``stages/png.py`` —
+  all five filters, palettes, 1-16 bit, Adam7), GIF (``image/gif``,
+  see ``stages/gif.py`` — LZW, local palettes, interlace, animation
+  compositing) and MJPEG-in-AVI video (``video/x-msvideo``: RIFF
+  walker + per-frame JPEG; ``sample_video_frames`` selects frames
+  BEFORE any pixel work — animated GIFs take the same sampled-frame
+  path) — and extracts grid-mean / windowed-RMS features.
   Compressed audio decodes too: IMA/DVI ADPCM (WAV tag 17, the classic
   4:1 codec) via a block-transpose-vectorized decoder. Perceptual
   codecs (mp3) and inter-frame video (h264) still raise
@@ -397,6 +401,9 @@ def sample_video_frames(batch: pd.DataFrame, every: int = 2,
     on kept frames — at a 1-in-30 sample rate the stage does ~1/30th of
     full-decode work, which is what makes frame sampling viable on a
     100-TB video corpus. Non-video rows pass through with zero frames.
+    Animated GIF payloads take the same sampled-frame path (frames are
+    composited per the disposal chain, which is inherently sequential,
+    but pixel FEATURE work still happens only on kept frames).
     """
     from matrixprofile_ray.stages.jpeg import decode_jpeg
 
@@ -405,6 +412,20 @@ def sample_video_frames(batch: pd.DataFrame, every: int = 2,
         batch["media_id"], batch["kind"], batch["payload"]
     ):
         if kind != "video":
+            continue
+        if payload[:4] == b"GIF8":
+            from matrixprofile_ray.stages.gif import parse_gif
+
+            _, _, gframes = parse_gif(payload)
+            t_ms = 0
+            for i, fr in enumerate(gframes):
+                if i % every == 0:
+                    ids.append(mid)
+                    fidx.append(i)
+                    ts.append(t_ms)
+                    feats.append(np.round(image_features(
+                        fr["pixels"].astype(np.float64), dim), 6))
+                t_ms += fr["delay_cs"] * 10
             continue
         fps, frames = parse_avi_mjpeg(payload)
         for i in range(0, len(frames), every):
@@ -494,6 +515,24 @@ class DecodeStage:
                 from matrixprofile_ray.stages.jpeg import decode_jpeg
 
                 px = decode_jpeg(payload).astype(np.float64)
+                if self.thumb is not None:
+                    px = resize_nearest(px, *self.thumb)
+                return image_features(px, self.dim)
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                from matrixprofile_ray.stages.png import decode_png
+
+                px = decode_png(payload)
+                if px.ndim == 2:
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                if self.thumb is not None:
+                    px = resize_nearest(px, *self.thumb)
+                return image_features(px, self.dim)
+            if payload[:4] == b"GIF8":
+                # poster-frame features (frame 0 composited; use
+                # sample_video_frames for the per-frame flat_map path)
+                from matrixprofile_ray.stages.gif import decode_gif
+
+                px = decode_gif(payload)
                 if self.thumb is not None:
                     px = resize_nearest(px, *self.thumb)
                 return image_features(px, self.dim)
