@@ -1361,7 +1361,16 @@ def q_multimodal_features(sf_dir: str):
                 wav = (
                     10000 * np.sin(np.arange(n) / (3.0 + i % 7))
                 ).astype(np.int16)
-                payloads.append(encode_wav(wav))
+                law = (i // 12) % 3  # rotate PCM / μ-law / A-law
+                if law == 0:
+                    payloads.append(encode_wav(wav))
+                else:
+                    from matrixprofile_ray.stages.multimodal import (
+                        encode_wav_g711,
+                    )
+
+                    payloads.append(encode_wav_g711(
+                        wav, 8000, "ulaw" if law == 1 else "alaw"))
                 kinds.append("audio")
                 mimes.append("audio/wav")
         return pa.table({

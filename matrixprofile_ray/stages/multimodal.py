@@ -152,9 +152,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE payload → (int16 samples, rate).
 
     Pure-Python chunk walker: accepts extra chunks (LIST etc.). Handles
-    format tag 1 (16-bit PCM) and tag 17 (IMA/DVI ADPCM, 4-bit — the
+    format tag 1 (16-bit PCM), tag 17 (IMA/DVI ADPCM, 4-bit — the
     classic 4:1 compressed-audio format; decoded by the vectorized
-    block codec below)."""
+    block codec below) and tags 7/6 (G.711 μ-law / A-law, the 2:1
+    telephony codecs; LUT decode)."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -170,11 +171,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             tag, channels, rate, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if channels != 1 and tag == 17:
-                raise ValueError("IMA ADPCM decode supports mono only")
+            if channels != 1 and tag in (6, 7, 17):
+                raise ValueError("compressed WAV decode supports mono only")
             if tag == 1 and bits != 16:
                 raise ValueError(f"unsupported PCM WAV (bits={bits})")
-            if tag not in (1, 17):
+            if tag not in (1, 6, 7, 17):
                 raise ValueError(f"unsupported WAV (format={tag})")
         elif cid == b"data":
             data = body
@@ -186,6 +187,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if fact_n is not None:
             out = out[:fact_n]           # trim block padding
         return out, int(rate)
+    if tag in (6, 7):
+        return decode_g711(data, "ulaw" if tag == 7 else "alaw"), int(rate)
     return np.frombuffer(data, dtype="<i2").copy(), int(rate)
 
 
@@ -304,6 +307,89 @@ def encode_ima_adpcm(samples: np.ndarray, sample_rate: int = 16000,
         "<4sI4s", b"RIFF", 4 + len(fmt) + len(fact) + 8 + len(data),
         b"WAVE",
     )
+    return hdr + fmt + fact + struct.pack("<4sI", b"data", len(data)) + data
+
+
+# G.711 μ-law / A-law (ITU-T Recommendation G.711; the classic 2:1
+# telephony companding codecs — WAV format tags 7 and 6). Table-driven
+# and fully vectorized: decode is a 256-entry LUT gather, encode is a
+# searchsorted over the 8 segment boundaries.
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def _build_ulaw_table() -> np.ndarray:
+    u = np.arange(256, dtype=np.int64)
+    v = ~u & 0xFF
+    t = (((v & 0x0F) << 3) + _ULAW_BIAS) << ((v & 0x70) >> 4)
+    mag = t - _ULAW_BIAS
+    return np.where(v & 0x80, -mag, mag).astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8,
+                 (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_ULAW_DECODE = _build_ulaw_table()
+_ALAW_DECODE = _build_alaw_table()
+
+
+def decode_g711(data: bytes, law: str = "ulaw") -> np.ndarray:
+    """G.711 companded bytes → int16 PCM (vectorized LUT gather)."""
+    table = _ULAW_DECODE if law == "ulaw" else _ALAW_DECODE
+    return table[np.frombuffer(data, dtype=np.uint8)]
+
+
+def encode_g711(samples: np.ndarray, law: str = "ulaw") -> bytes:
+    """int16 PCM → G.711 companded bytes (Sun g711.c semantics,
+    vectorized: exponent via searchsorted over segment ends)."""
+    x = np.asarray(samples, dtype=np.int64)
+    if law == "ulaw":
+        sign = np.where(x < 0, 0x80, 0)
+        mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+        # exponent = position of the top set bit of mag >> 7 (0..7)
+        exp = np.zeros_like(mag)
+        v = mag >> 8
+        for _ in range(7):
+            nz = v > 0
+            exp += nz
+            v >>= 1
+        mant = (mag >> (exp + 3)) & 0x0F
+        out = ~(sign | (exp << 4) | mant) & 0xFF
+        return out.astype(np.uint8).tobytes()
+    if law != "alaw":
+        raise ValueError(f"unknown law {law!r}")
+    pcm = x >> 3  # 13-bit
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    pcm = np.where(pcm >= 0, pcm, -pcm - 1)
+    seg_end = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF,
+                        0xFFF], dtype=np.int64)
+    seg = np.searchsorted(seg_end, pcm)
+    shift = np.where(seg < 2, 1, np.maximum(seg, 1))
+    aval = np.where(seg >= 8, 0x7F,
+                    (np.minimum(seg, 7) << 4) | ((pcm >> shift) & 0x0F))
+    return ((aval ^ mask) & 0xFF).astype(np.uint8).tobytes()
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int = 8000,
+                    law: str = "ulaw") -> bytes:
+    """Encode mono int16 samples as a G.711 WAV payload (tag 7 μ-law /
+    tag 6 A-law). Parses with ``decode_wav`` and any standard reader."""
+    import struct
+
+    tag = 7 if law == "ulaw" else 6
+    data = encode_g711(samples, law)
+    fmt = struct.pack("<4sIHHIIHHH", b"fmt ", 18, tag, 1, sample_rate,
+                      sample_rate, 1, 8, 0)
+    fact = struct.pack("<4sII", b"fact", 4, len(data))
+    hdr = struct.pack("<4sI4s", b"RIFF",
+                      4 + len(fmt) + len(fact) + 8 + len(data), b"WAVE")
     return hdr + fmt + fact + struct.pack("<4sI", b"data", len(data)) + data
 
 
