@@ -317,6 +317,112 @@ def q_docs_per_lang(sf_dir: str):
     return df
 
 
+_WARC_BASE_US = 1_490_000_000_000_000  # fixed synthetic crawl epoch
+
+
+def q_warc_ingest(sf_dir: str):
+    """Raw-archive ingestion: the documents table is serialized into
+    per-record-gzipped WARC/1.0 segments (sources/warc.py — the Common
+    Crawl layout; each worker writes its own shard, nothing funnels
+    through the driver), re-ingested with ``read_warc``, text is
+    re-extracted from the embedded HTML (north-star contract:
+    byte-identical text per url, asserted in-task against a broadcast
+    crc32 reference) and rolled up per domain."""
+    import glob as _glob
+    import hashlib
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from matrixprofile_ray.sources.warc import read_warc, write_warc
+    from matrixprofile_ray.stages.extract import add_domain, extract_text
+    from matrixprofile_ray.util import partitioned_group_map
+
+    tag = hashlib.blake2s(
+        os.path.abspath(sf_dir).encode(), digest_size=6).hexdigest()
+    out_dir = f"/tmp/graft_warc_{tag}"
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        if os.path.isdir(out_dir):  # crashed previous generation
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        docs = _read(sf_dir, "documents",
+                     columns=["doc_id", "text", "source"])
+
+        def write_shard(batch: pa.Table) -> pa.Table:
+            recs = [
+                (f"http://{s}.example.com/{int(i)}",
+                 _WARC_BASE_US + int(i) * 1_000_000,
+                 f"<html><body>{t}</body></html>")
+                for i, t, s in zip(batch["doc_id"].to_pylist(),
+                                   batch["text"].to_pylist(),
+                                   batch["source"].to_pylist())
+            ]
+            payload = write_warc(recs, gzip_per_record=True)
+            name = hashlib.blake2s(payload, digest_size=10).hexdigest()
+            path = os.path.join(out_dir, f"part-{name}.warc.gz")
+            with open(path + ".tmp", "wb") as f:
+                f.write(payload)
+            os.replace(path + ".tmp", path)
+            return pa.table({"n": pa.array([len(recs)], pa.int64())})
+
+        total = int(docs.map_batches(
+            write_shard, batch_format="pyarrow").sum("n"))
+        with open(done, "w") as f:
+            f.write(str(total))
+
+    # byte-identity reference: doc_id -> crc32(text); 2 ints/row leave
+    # the cluster, broadcast once via ray.put
+    def crc_batch(b: pa.Table) -> pa.Table:
+        crcs = [zlib.crc32(t.encode("utf-8"))
+                for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "crc": pa.array(crcs, pa.int64())})
+
+    crc_rows = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(crc_batch, batch_format="pyarrow").take_all()
+    crc_ref = ray.put({int(r["doc_id"]): int(r["crc"])
+                       for r in crc_rows})
+
+    ingested = read_warc(
+        sorted(_glob.glob(os.path.join(out_dir, "*.warc.gz"))))
+
+    def extract_check(batch: pa.Table) -> pa.Table:
+        t = add_domain(extract_text(batch))
+        texts = t["text"].to_pylist()
+        lookup = ray.get(crc_ref)
+        for u, x in zip(t["url"].to_pylist(), texts):
+            did = int(u.rsplit("/", 1)[1])
+            if zlib.crc32(x.encode("utf-8")) != lookup[did]:
+                raise AssertionError(
+                    f"extracted text not byte-identical for {u}")
+        return pa.table({
+            "domain": t["domain"],
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            "ts_us": pc.cast(t["warc_ts"], pa.int64()),
+        })
+
+    rows = ingested.map_batches(extract_check, batch_format="pyarrow")
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("domain", sort=True)
+        return pd.DataFrame({
+            "domain": g.size().index,
+            "n_pages": g.size().to_numpy(dtype="int64"),
+            "sum_chars": g["n_chars"].sum().to_numpy(dtype="int64"),
+            "min_ts_us": g["ts_us"].min().to_numpy(dtype="int64"),
+            "max_ts_us": g["ts_us"].max().to_numpy(dtype="int64"),
+        })
+
+    df = partitioned_group_map(rows, ["domain"], fold).to_pandas()
+    for c in ("n_pages", "sum_chars", "min_ts_us", "max_ts_us"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("domain").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- stats
 
 def q_stats_events(sf_dir: str):
@@ -4197,6 +4303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resume_rollup_1d": q_resume_rollup_1d,
         "events_topk": q_events_topk,
         "docs_per_lang": q_docs_per_lang,
+        "warc_ingest": q_warc_ingest,
         "stats_events": q_stats_events,
         "gapfill_1h": q_gapfill_1h,
         "profile_mpx_1h": q_profile_mpx_1h,
@@ -5493,6 +5600,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    count(DISTINCT text) AS n_distinct
             FROM documents GROUP BY lang
+        """,
+        # warc_ingest is an identity transport: documents → WARC/1.0
+        # gzip segments → read_warc → extract_text must reproduce the
+        # source text byte-for-byte (asserted in-task), so the oracle
+        # aggregates the source table directly. warc_ts is synthesized
+        # as BASE + doc_id seconds on both sides.
+        "warc_ingest": f"""
+            SELECT source || '.example.com' AS domain,
+                   count(*) AS n_pages,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+                   MIN({_WARC_BASE_US} + doc_id * 1000000) AS min_ts_us,
+                   MAX({_WARC_BASE_US} + doc_id * 1000000) AS max_ts_us
+            FROM documents GROUP BY 1
         """,
         "stats_events": """
             SELECT event_type,
