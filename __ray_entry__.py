@@ -2011,6 +2011,28 @@ def q_customers_no_urgent(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def q_bloom_customers_no_orders(sf_dir: str):
+    """Anti join via the broadcast-Bloom topology: customers with no
+    finished ('F'-status) order, counted per market segment. The 100-TB
+    shape for "drop every url already crawled": the big side never
+    shuffles — a bitset built from the small side broadcasts once,
+    Bloom-negative rows count immediately, and only Bloom-positive rows
+    (true matches + ~0.8% false positives) enter the exact verification
+    exchange. Result is EXACT (the filter only routes rows), so the
+    plain NOT EXISTS oracle applies."""
+    from matrixprofile_ray.stages.relational import bloom_anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderstatus"])
+    finished = orders.filter(
+        expr="o_orderstatus == 'F'").select_columns(["o_custkey"])
+    df = bloom_anti_join(cust, finished, "c_custkey", "o_custkey",
+                         "c_mktsegment", out_count="n_customers")
+    df["n_customers"] = df["n_customers"].astype("int64")
+    return df
+
+
 def q_term_df_top(sf_dir: str):
     """Top-10 terms per language by document frequency (the df side of
     tf-idf): in-batch doc-unique pairs → vocabulary-bounded groupby →
@@ -4362,6 +4384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_stats": q_events_lag_stats,
         "events_running_sum": q_events_running_sum,
         "customers_no_urgent": q_customers_no_urgent,
+        "bloom_customers_no_orders": q_bloom_customers_no_orders,
         "term_df_top": q_term_df_top,
         "stats_moments_events": q_stats_moments_events,
         "type_corr_pairs": q_type_corr_pairs,
@@ -6079,6 +6102,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN (
                 SELECT o_custkey FROM orders
                 WHERE o_orderpriority = '1-URGENT'
+            )
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        # the Bloom prefilter only routes rows (negatives counted
+        # immediately, positives exactly verified), so the oracle is the
+        # plain anti join — exactness of the topology IS the check
+        "bloom_customers_no_orders": """
+            SELECT c_mktsegment, COUNT(*)::BIGINT AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'F'
             )
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,

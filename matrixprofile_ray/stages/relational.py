@@ -994,3 +994,143 @@ def _hll_estimate(regs: np.ndarray, m: int) -> int:
     # e - floor(e) of doubles >= 1 is a Sterbenz-safe subtraction.
     f = float(np.floor(e))
     return int(f) + (1 if e - f >= 0.5 else 0)
+
+
+# --------------------------------------------------------------- bloom
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing h1 + i*h2 (Kirsch-
+    Mitzenmacher construction) over splitmix64-mixed keys."""
+    h = _splitmix64(keys.astype(np.uint64))
+    h1 = h >> np.uint64(32)
+    h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)  # odd ⇒ full cycle
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def _bloom_set(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Build a bitset (uint64 words) with all ``keys`` inserted."""
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    pos = _bloom_positions(keys, m_bits, k).reshape(-1)
+    np.bitwise_or.at(words, pos >> 6,
+                     np.uint64(1) << (pos & 63).astype(np.uint64))
+    return words
+
+
+def _bloom_may_contain(words: np.ndarray, keys: np.ndarray,
+                       m_bits: int, k: int) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present (or FP)."""
+    pos = _bloom_positions(keys, m_bits, k)
+    bits = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+    return bits.all(axis=1)
+
+
+def bloom_anti_join(big_ds, small_ds, big_key: str, small_key: str,
+                    group_col: str, out_count: str = "n",
+                    bits_per_key: int = 10, n_hashes: int = 7,
+                    small_count: int | None = None):
+    """Anti join via a broadcast Bloom prefilter + exact verification:
+    big-side rows whose key has NO match in the small side, counted per
+    ``group_col``. Result is EXACT — the filter only routes rows.
+
+    The alternative topology to ``anti_join_count``'s shared-key
+    shuffle, for when the big side dwarfs the small side (the 100-TB
+    case: "drop every url already crawled"). Three stages:
+
+    1. build — one bitset per small-side BLOCK (vectorized insert),
+       OR-folded; the fold ships ``n_blocks × m/8`` bytes, never keys.
+    2. prefilter — the bitset broadcasts once via ``ray.put``; big-side
+       rows probing any zero bit are DEFINITELY absent and count
+       immediately, zero shuffle for (1 - fp_rate) of the anti set.
+    3. verify — only Bloom-positive rows (true matches + ~0.8% false
+       positives at the default 10 bits/key) enter the exact
+       ``anti_join_count`` shuffle, so the exchange is sized by the
+       small side's match rate, not the big side's row count.
+
+    ``small_count`` (estimated distinct keys) sizes the filter; when
+    omitted one counting pass runs first. int64 keys only (the same
+    contract global_rank enforces).
+    """
+    import pyarrow as pa
+    import ray
+
+    for ds, col in ((big_ds, big_key), (small_ds, small_key)):
+        schema = ds.schema()
+        typ = dict(zip(schema.names, schema.types))[col]
+        # pandas-backed blocks report numpy dtypes / Python classes
+        # instead of pyarrow types — normalize before checking
+        if isinstance(typ, pa.DataType):
+            ok = pa.types.is_integer(typ)
+        else:
+            try:
+                ok = np.issubdtype(np.dtype(typ), np.integer)
+            except TypeError:
+                ok = False
+        if not ok:
+            raise ValueError(
+                f"bloom_anti_join needs integer keys, got {col}: {typ}")
+
+    if small_count is None:
+        small_count = small_ds.count()
+    m_bits = max(64, int(small_count) * bits_per_key)
+
+    def block_bitset(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = np.unique(batch[small_key].to_numpy(dtype=np.int64))
+        words = _bloom_set(ks, m_bits, n_hashes)
+        return pd.DataFrame({"w": [words.tobytes()]})
+
+    partials = small_ds.map_batches(
+        block_bitset, batch_format="pandas",
+        batch_size=65536).take_all()
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    for row in partials:  # one small OR per block, driver-side
+        words |= np.frombuffer(row["w"], dtype=np.uint64)
+    bloom_ref = ray.put(words)
+
+    def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(bloom_ref)
+        ks = batch[big_key].to_numpy(dtype=np.int64)
+        maybe = _bloom_may_contain(w, ks, m_bits, n_hashes)
+        definite = batch.loc[~maybe]
+        partial = definite.groupby(group_col, as_index=False).size()
+        neg = pd.DataFrame({
+            "g": partial[group_col].astype(str).to_numpy(),
+            "c": partial["size"].to_numpy(dtype=np.int64),
+            "k": np.full(len(partial), -1, dtype=np.int64),
+            "cand": np.zeros(len(partial), dtype=bool),
+        })
+        cand = pd.DataFrame({
+            "g": batch.loc[maybe, group_col].astype(str).to_numpy(),
+            "c": np.zeros(int(maybe.sum()), dtype=np.int64),
+            "k": ks[maybe],
+            "cand": np.ones(int(maybe.sum()), dtype=bool),
+        })
+        return pd.concat([neg, cand], ignore_index=True)
+
+    routed = big_ds.map_batches(prefilter, batch_format="pandas")
+    # definite negatives: already partial counts, tiny rollup
+    negatives = routed.filter(expr="cand == False")
+    candidates = routed.filter(expr="cand == True")
+
+    verified = anti_join_count(
+        candidates, small_ds.select_columns([small_key]),
+        "k", small_key, "g", out_count="c")
+
+    neg_df = negatives.select_columns(["g", "c"]).to_pandas()
+    # verified holds only Bloom FALSE POSITIVES that survived the exact
+    # check (usually none at 10 bits/key) — it is legitimately empty,
+    # and empty pandas blocks drop their schema
+    ver_df = verified.to_pandas()
+    if not {"g", "c"}.issubset(ver_df.columns):
+        ver_df = pd.DataFrame({"g": pd.Series(dtype=object),
+                               "c": pd.Series(dtype=np.int64)})
+    ver_df = ver_df[["g", "c"]]
+    total = (
+        pd.concat([neg_df, ver_df], ignore_index=True)
+        .groupby("g", as_index=False)["c"].sum()
+    )
+    return pd.DataFrame({
+        group_col: total["g"].to_numpy(),
+        out_count: total["c"].to_numpy(dtype=np.int64),
+    }).sort_values(group_col).reset_index(drop=True)

@@ -824,3 +824,61 @@ class TestGlobalRankEmpty:
         # the schema on the Dataset itself
         assert out.schema().names == ["id", "v", "rnk"]
         assert len(out.to_pandas()) == 0
+
+
+class TestBloomAntiJoin:
+    def test_bloom_primitives_no_false_negatives(self):
+        from matrixprofile_ray.stages.relational import (
+            _bloom_may_contain, _bloom_set)
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 2**62, size=5000, dtype=np.int64)
+        m_bits = len(keys) * 10
+        words = _bloom_set(keys, m_bits, 7)
+        # never a false negative
+        assert _bloom_may_contain(words, keys, m_bits, 7).all()
+        # false-positive rate near the 10-bits/key theoretical ~0.8%
+        probe = rng.integers(2**62, 2**63 - 1, size=20000, dtype=np.int64)
+        fp = _bloom_may_contain(words, probe, m_bits, 7).mean()
+        assert fp < 0.03
+
+    def test_matches_plain_anti_join(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import bloom_anti_join
+
+        rng = np.random.default_rng(11)
+        n = 4000
+        left = pd.DataFrame({
+            "ck": np.arange(n, dtype=np.int64),
+            "seg": rng.choice(list("ABCD"), size=n),
+        })
+        # small side hits ~60% of keys, with dups
+        right = pd.DataFrame({
+            "ok": rng.choice(np.arange(n, dtype=np.int64),
+                             size=int(n * 1.5)),
+        })
+        got = bloom_anti_join(
+            rd.from_pandas(left, override_num_blocks=4),
+            rd.from_pandas(right, override_num_blocks=4),
+            "ck", "ok", "seg", out_count="n",
+        )
+        matched = set(right["ok"].tolist())
+        want = (left[~left["ck"].isin(matched)]
+                .groupby("seg", as_index=False).size()
+                .rename(columns={"size": "n"})
+                .sort_values("seg").reset_index(drop=True))
+        assert got["seg"].tolist() == want["seg"].tolist()
+        assert got["n"].tolist() == want["n"].astype("int64").tolist()
+
+    def test_rejects_non_integer_keys(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.relational import bloom_anti_join
+
+        left = rd.from_pandas(pd.DataFrame(
+            {"ck": ["a", "b"], "seg": ["A", "B"]}))
+        right = rd.from_pandas(pd.DataFrame({"ok": [1, 2]}))
+        with pytest.raises(ValueError, match="integer"):
+            bloom_anti_join(left, right, "ck", "ok", "seg")
