@@ -3292,6 +3292,23 @@ def q_dup_ngram_corpus(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dup_span_stats(sf_dir: str):
+    """Character-level duplicated-substring span coverage (the
+    ExactSubstr statistic, Lee et al. 2022): per doc, codepoints covered
+    by some >=20-char substring occurring at least twice corpus-wide
+    (same-doc repeats count) and the number of maximal covered runs.
+    One gram-hash exchange (2x64-bit rolling polynomial, in-batch
+    combiner) + broadcast dup set + zero-shuffle marking pass; all-int
+    output."""
+    from matrixprofile_ray.stages.text import dup_span_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = dup_span_stats(ds, L=20).to_pandas()
+    for c in ("doc_id", "doc_len", "n_dup_chars", "n_spans"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_clean_corpus(sf_dir: str):
     """C4/Gopher-style cleaning filter: keep docs passing length and
     repetition rules (15 <= n_words <= 1000, dup_bigram_frac <= 0.05,
@@ -4394,6 +4411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_lineitem_revenue": q_segment_lineitem_revenue,
         "repetition_stats": q_repetition_stats,
         "dup_ngram_corpus": q_dup_ngram_corpus,
+        "dup_span_stats": q_dup_span_stats,
         "decontaminate": q_decontaminate,
         "clean_corpus": q_clean_corpus,
         "top_bigrams": q_top_bigrams,
@@ -6378,6 +6396,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_grams, n_dup,
                    ROUND(n_dup::DOUBLE / n_grams::DOUBLE, 6) AS dup_frac
             FROM per_doc ORDER BY doc_id
+        """,
+        # ExactSubstr span coverage: a codepoint is duplicated iff some
+        # 20-char substring through it occurs >= 2 times corpus-wide
+        # (occurrences, not distinct docs); spans = maximal covered runs
+        "dup_span_stats": """
+            WITH g AS (
+                SELECT doc_id, i, substr(text, i, 20) AS gram
+                FROM documents,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, length(text) - 19)) AS i)
+            ), dup AS (
+                SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+            ), cov AS (
+                SELECT DISTINCT doc_id, j
+                FROM g JOIN dup USING (gram),
+                     LATERAL (SELECT unnest(generate_series(i, i + 19))
+                              AS j)
+            ), runs AS (
+                SELECT doc_id,
+                       CASE WHEN j - LAG(j) OVER (
+                                PARTITION BY doc_id ORDER BY j) = 1
+                            THEN 0 ELSE 1 END AS st
+                FROM cov
+            ), agg AS (
+                SELECT doc_id, COUNT(*)::BIGINT AS n_dup_chars,
+                       SUM(st)::BIGINT AS n_spans
+                FROM runs GROUP BY doc_id
+            )
+            SELECT d.doc_id, length(d.text)::BIGINT AS doc_len,
+                   COALESCE(a.n_dup_chars, 0)::BIGINT AS n_dup_chars,
+                   COALESCE(a.n_spans, 0)::BIGINT AS n_spans
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # Decontamination: benchmark = distinct 5-grams of docs with
         # doc_id % 97 == 0; a doc is contaminated when any of its

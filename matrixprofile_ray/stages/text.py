@@ -761,6 +761,168 @@ def dup_ngram_corpus(ds, n: int = 5, id_col: str = "doc_id",
     return partitioned_group_map(partials, [id_col], per_doc_fold)
 
 
+# two independent odd bases: odd => invertible mod 2^64, so window
+# hashes normalize via prefix sums x inverse powers (no scalar loop)
+_SPAN_B1 = np.uint64(0x9E3779B97F4A7C15)
+_SPAN_B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _inv_u64(b: np.uint64) -> np.uint64:
+    """Multiplicative inverse of an odd b modulo 2^64 (Newton, 5 steps)."""
+    x = b  # correct to 3 bits
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+        for _ in range(5):
+            x = x * (np.uint64(2) - b * x)
+    return x
+
+
+def _rolling_hash_u64(cp: np.ndarray, L: int, base: np.uint64) -> np.ndarray:
+    """All L-window polynomial hashes of codepoint array ``cp`` mod 2^64.
+
+    h(i) = sum_{j<L} cp[i+j] * base^j, computed without a scalar loop:
+    S[k] = sum_{j<k} cp[j] * base^j (prefix), then
+    h(i) = (S[i+L] - S[i]) * base^{-i} — exact because odd bases are
+    invertible mod 2^64 and numpy uint64 arithmetic wraps mod 2^64.
+    """
+    n = len(cp)
+    if n < L:
+        return np.empty(0, dtype=np.uint64)
+    pows = np.ones(n, dtype=np.uint64)
+    if n > 1:
+        np.cumprod(np.full(n - 1, base, dtype=np.uint64), out=pows[1:])
+    inv_pows = np.ones(n, dtype=np.uint64)
+    if n > 1:
+        np.cumprod(np.full(n - 1, _inv_u64(base), dtype=np.uint64),
+                   out=inv_pows[1:])
+    pref = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(cp.astype(np.uint64) * pows, out=pref[1:])
+    m = n - L + 1
+    return (pref[L:] - pref[:m]) * inv_pows[:m]
+
+
+def _span_gram_hashes(text: str, L: int) -> tuple[np.ndarray, np.ndarray]:
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    return (_rolling_hash_u64(cp, L, _SPAN_B1),
+            _rolling_hash_u64(cp, L, _SPAN_B2))
+
+
+def _pairs_member(d1: np.ndarray, d2: np.ndarray,
+                  q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    """Membership of query (q1,q2) pairs in the lexsorted dup set
+    (d1,d2): two searchsorteds on d1, exact h2 check; the rare h1-tie
+    buckets (several dup grams sharing h1) fall back to a tiny loop."""
+    if not len(d1) or not len(q1):
+        return np.zeros(len(q1), dtype=bool)
+    lo = np.searchsorted(d1, q1, side="left")
+    hi = np.searchsorted(d1, q1, side="right")
+    hit = np.zeros(len(q1), dtype=bool)
+    single = hi - lo == 1
+    hit[single] = d2[lo[single]] == q2[single]
+    for i in np.flatnonzero(hi - lo > 1):
+        hit[i] = bool((d2[lo[i]:hi[i]] == q2[i]).any())
+    return hit
+
+
+def dup_span_stats(ds, L: int = 20, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Character-level duplicated-substring span coverage per document —
+    the ExactSubstr statistic of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", reference has no
+    counterpart): a character is *duplicated* iff it lies inside some
+    substring of length >= L that occurs at least twice in the corpus
+    (counting repeats within the same document), which holds exactly
+    when a duplicated L-gram covers it. Returns one row per document:
+    ``doc_id, doc_len`` (codepoints), ``n_dup_chars`` (covered
+    codepoints) and ``n_spans`` (maximal covered runs) — all exact
+    int64, so ``doc_len - n_dup_chars`` is the post-dedup clean length.
+
+    Scale shape: pass 1 ships distinct (h1, h2, count) gram-hash rows
+    per batch (an in-batch combiner — never one row per character) into
+    ONE hash-partition fold; the duplicated set broadcasts once via
+    ``ray.put`` (its size is bounded by the corpus's duplicated-gram
+    cardinality; if that ever rivals the corpus, route pass 2 through
+    the :func:`dup_ngram_corpus` partition-join topology instead), and
+    pass 2 is a zero-shuffle ``map_batches`` marking coverage with a
+    diff/cumsum — no stage materializes text off-worker. Hashes are
+    2 x 64-bit independent polynomials (collision odds ~ G^2 / 2^128
+    for G distinct grams: negligible at any realistic corpus size).
+    """
+    import pandas as pd
+    import ray
+
+    from matrixprofile_ray.util import partitioned_group_map
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        h1s, h2s = [], []
+        for t in batch[text_col].to_pylist():
+            a, b = _span_gram_hashes(t or "", L)
+            h1s.append(a)
+            h2s.append(b)
+        h1 = (np.concatenate(h1s) if h1s
+              else np.empty(0, dtype=np.uint64))
+        h2 = (np.concatenate(h2s) if h2s
+              else np.empty(0, dtype=np.uint64))
+        # count occurrences (not distinct docs): same-doc repeats are
+        # duplicates too, per the ExactSubstr definition
+        pair = np.empty(len(h1), dtype=[("h1", "<u8"), ("h2", "<u8")])
+        pair["h1"], pair["h2"] = h1, h2
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.table({
+            "h1": pa.array(uniq["h1"], pa.uint64()),
+            "h2": pa.array(uniq["h2"], pa.uint64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    partials = ds.map_batches(gram_partial, batch_format="pyarrow")
+
+    def dup_fold(part: pd.DataFrame) -> pd.DataFrame:
+        tot = part.groupby(["h1", "h2"], as_index=False)["cnt"].sum()
+        return tot.loc[tot["cnt"] >= 2, ["h1", "h2"]]
+
+    dup = partitioned_group_map(
+        partials, ["h1", "h2"], dup_fold).to_pandas()
+    if len(dup):
+        d1 = dup["h1"].to_numpy(dtype=np.uint64)
+        d2 = dup["h2"].to_numpy(dtype=np.uint64)
+        order = np.lexsort((d2, d1))
+        d1, d2 = d1[order], d2[order]
+    else:
+        d1 = d2 = np.empty(0, dtype=np.uint64)
+    dup_ref = ray.put((d1, d2))
+
+    def mark(batch: pa.Table) -> pd.DataFrame:
+        dd1, dd2 = ray.get(dup_ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        texts = batch[text_col].to_pylist()
+        doc_len = np.zeros(len(texts), dtype=np.int64)
+        n_cov = np.zeros(len(texts), dtype=np.int64)
+        n_spans = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            doc_len[i] = len(t)
+            q1, q2 = _span_gram_hashes(t, L)
+            if not len(q1):
+                continue
+            starts = np.flatnonzero(_pairs_member(dd1, dd2, q1, q2))
+            if not len(starts):
+                continue
+            delta = np.zeros(doc_len[i] + 1, dtype=np.int64)
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, starts + L, -1)
+            cov = np.cumsum(delta[:-1]) > 0
+            n_cov[i] = int(cov.sum())
+            n_spans[i] = int(cov[0]) + int(
+                (cov[1:] & ~cov[:-1]).sum())
+        return pd.DataFrame({
+            id_col: ids,
+            "doc_len": doc_len,
+            "n_dup_chars": n_cov,
+            "n_spans": n_spans,
+        })
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
 def decontaminate(ds, n: int = 5, bench_mod: int = 97,
                   id_col: str = "doc_id", text_col: str = "text"):
     """Benchmark decontamination by word-n-gram overlap (GPT-3 appendix C

@@ -1596,3 +1596,100 @@ class TestReviewRegressions:
         assert per_doc == {0: 1000, 1: 2, 2: 128, 3: 129}
         assert df[df["doc_id"] == 0]["chunk_id"].tolist() == list(range(8))
         assert df[df["doc_id"] == 3]["chunk_len"].tolist() == [128, 1]
+
+
+class TestDupSpanStats:
+    """ExactSubstr span coverage (stages/text.py dup_span_stats)."""
+
+    @staticmethod
+    def _brute(docs, L):
+        from collections import Counter
+
+        grams = Counter()
+        for t in docs["text"]:
+            for i in range(len(t) - L + 1):
+                grams[t[i:i + L]] += 1
+        rows = []
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            cov = np.zeros(len(t), bool)
+            for i in range(len(t) - L + 1):
+                if grams[t[i:i + L]] >= 2:
+                    cov[i:i + L] = True
+            spans = 0
+            if len(t):
+                spans = int(cov[0]) + int((cov[1:] & ~cov[:-1]).sum())
+            rows.append((d, len(t), int(cov.sum()), spans))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "doc_len", "n_dup_chars", "n_spans"])
+
+    def test_matches_brute_including_same_doc_repeats(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import dup_span_stats
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps high",
+                "zzz the quick brown fox jumps over the hill",
+                "completely unique content here with no repeats",
+                "shortdoc",                          # < L: zero row
+                "abababababababababababababababab",  # SAME-doc repeat
+            ],
+        })
+        got = dup_span_stats(
+            rd.from_pandas(docs, override_num_blocks=3), L=12
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(self._brute(docs, 12))
+        # the self-repeating doc is fully covered by ONE span
+        row = got[got["doc_id"] == 5].iloc[0]
+        assert row["n_dup_chars"] == row["doc_len"] and row["n_spans"] == 1
+
+    def test_partition_invariance_random_corpus(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import dup_span_stats
+
+        rng = np.random.default_rng(23)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        texts = [" ".join(rng.choice(words, size=rng.integers(3, 30)))
+                 for _ in range(40)]
+        docs = pd.DataFrame({
+            "doc_id": np.arange(40, dtype=np.int64), "text": texts})
+        want = self._brute(docs, 15)
+        for blocks in (1, 7):
+            got = dup_span_stats(
+                rd.from_pandas(docs, override_num_blocks=blocks), L=15
+            ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+            assert got.equals(want), blocks
+
+    def test_unicode_codepoint_semantics(self, ray_session):
+        import ray.data as rd
+
+        from matrixprofile_ray.stages.text import dup_span_stats
+
+        # doc_len counts CODEPOINTS (DuckDB length()), not utf-8 bytes
+        docs = pd.DataFrame({
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            "text": ["héllo wörld héllo wörld", "naïve café naïve café"],
+        })
+        got = dup_span_stats(
+            rd.from_pandas(docs), L=10
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(self._brute(docs, 10))
+        assert got["doc_len"].tolist() == [23, 21]
+
+    def test_rolling_hash_window_identity(self):
+        from matrixprofile_ray.stages.text import (
+            _SPAN_B1, _inv_u64, _rolling_hash_u64)
+
+        assert int(_SPAN_B1) * int(_inv_u64(_SPAN_B1)) % 2**64 == 1
+        rng = np.random.default_rng(0)
+        cp = rng.integers(0, 1 << 20, size=120).astype(np.uint32)
+        h = _rolling_hash_u64(cp, 9, _SPAN_B1)
+        B = int(_SPAN_B1)
+        for i in (0, 7, len(h) - 1):
+            want = sum(int(cp[i + j]) * pow(B, j, 2**64)
+                       for j in range(9)) % 2**64
+            assert int(h[i]) == want
