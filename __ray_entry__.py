@@ -1945,6 +1945,61 @@ def q_giant_mpx(sf_dir: str):
     })
 
 
+def q_inverted_postings(sf_dir: str):
+    """Inverted-index build: posting rows (token, doc_id, doc_freq) for
+    the top-20 terms by document frequency. df pass is the
+    partial-combine vocabulary-bounded groupby; the term set broadcasts
+    once via ray.put; the posting scan is zero-shuffle."""
+    from matrixprofile_ray.stages.text import inverted_postings
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = inverted_postings(ds, k=20).to_pandas()
+    for c in ("doc_id", "doc_freq"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["token", "doc_id"]).reset_index(drop=True)
+
+
+def q_tfidf_top_term(sf_dir: str):
+    """Highest-tf-idf term per document (tf * ln(N/df)), ranked on the
+    half-away-rounded score with token-ascending tie-break; the df map
+    broadcasts once, scoring + per-doc top-1 resolve in-batch."""
+    from matrixprofile_ray.stages.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = tfidf_top_terms(ds).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_sax_events_1h(sf_dir: str):
+    """SAX symbolization of the hourly tier: per event_type, the exact
+    integer micro-unit bucket-sum series → z-normalize → 16-segment PAA
+    → 4-letter Gaussian-breakpoint word. Every intermediate derives from
+    exact integer sums with one correctly-rounded double op per step
+    (core/sax.py contract), so the word hash-matches the SQL mirror
+    under any partitioning."""
+    from matrixprofile_ray.core.sax import sax_symbols_exact
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+    from matrixprofile_ray.util import partitioned_group_map
+
+    _assert_mu_lossless(sf_dir, "events", "value")
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+
+    def fn(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in part.groupby("event_type", sort=False):
+            micro = g.sort_values("bucket_ts")["sum_mu"].to_numpy(
+                dtype=np.int64)
+            rows.append((key, len(micro), sax_symbols_exact(micro, 16)))
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_buckets", "sax"])
+
+    df = partitioned_group_map(buckets, ["event_type"], fn).to_pandas()
+    df["n_buckets"] = df["n_buckets"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry() -> Any:
@@ -4444,6 +4499,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mpdist_pairs_w24g_1h": q_mpdist_pairs_w24g_1h,
         "ab_join_w24g_1h": q_ab_join_w24g_1h,
         "streaming_stampi_w24g": q_streaming_stampi_w24g,
+        "inverted_postings": q_inverted_postings,
+        "tfidf_top_term": q_tfidf_top_term,
+        "sax_events_1h": q_sax_events_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -6969,6 +7027,103 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stampi_w24g": f"""
             WITH RECURSIVE {_gap_mp_sql(24, 12, 37)}
             SELECT event_type, idx, mp, pi FROM mpqg
+        """,
+        "inverted_postings": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS token
+                FROM documents
+            ), uniq AS (
+                SELECT DISTINCT doc_id, token FROM toks WHERE token <> ''
+            ), dfreq AS (
+                SELECT token, COUNT(*)::BIGINT AS doc_freq
+                FROM uniq GROUP BY 1
+            ), top AS (
+                SELECT token, doc_freq FROM dfreq
+                ORDER BY doc_freq DESC, token ASC LIMIT 20
+            )
+            SELECT u.token, u.doc_id, t.doc_freq
+            FROM uniq u JOIN top t USING (token)
+            ORDER BY u.token, u.doc_id
+        """,
+        "tfidf_top_term": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, COUNT(*)::BIGINT AS tf
+                FROM toks WHERE token <> '' GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), total AS (
+                SELECT COUNT(*)::BIGINT AS n FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.token,
+                       ROUND(tf.tf * ln(total.n / dfreq.df), 6) AS tfidf
+                FROM tf JOIN dfreq USING (token) CROSS JOIN total
+            ), ranked AS (
+                SELECT doc_id, token, tfidf,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token ASC
+                       ) AS rn
+                FROM scored
+            )
+            SELECT doc_id, token, tfidf FROM ranked
+            WHERE rn = 1 ORDER BY doc_id
+        """,
+        # SAX word per hourly series: every double below derives from
+        # EXACT integer micro-unit sums (HUGEINT) with one
+        # correctly-rounded double op per step — the same expression
+        # shape core/sax.py sax_symbols_exact evaluates, so the discrete
+        # word is reproducible to the bit (no epsilon at breakpoints).
+        "sax_events_1h": """
+            WITH b AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) * 3600000000
+                           AS bucket_ts,
+                       SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS x
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, x,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY bucket_ts
+                       ) - 1 AS i,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM b
+            ), stats AS (
+                SELECT event_type, COUNT(*)::BIGINT AS n_buckets,
+                       CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE)
+                           / COUNT(*) AS mu,
+                       sqrt(CAST(SUM(CAST(x AS HUGEINT) * x) * COUNT(*)
+                                 - SUM(CAST(x AS HUGEINT))
+                                   * SUM(CAST(x AS HUGEINT)) AS DOUBLE)
+                            / (COUNT(*) * COUNT(*))) AS sigma
+                FROM b GROUP BY 1
+            ), seg AS (
+                SELECT event_type, i * 16 // n AS k,
+                       CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE)
+                           / COUNT(*) AS paa_x
+                FROM s GROUP BY 1, 2
+            ), sym AS (
+                SELECT g.event_type, g.k,
+                       CASE WHEN st.sigma = 0 THEN 'b'
+                            WHEN (g.paa_x - st.mu) / st.sigma
+                                 < -0.6745 THEN 'a'
+                            WHEN (g.paa_x - st.mu) / st.sigma
+                                 < 0.0 THEN 'b'
+                            WHEN (g.paa_x - st.mu) / st.sigma
+                                 < 0.6745 THEN 'c'
+                            ELSE 'd' END AS c
+                FROM seg g JOIN stats st USING (event_type)
+            )
+            SELECT event_type, st.n_buckets,
+                   STRING_AGG(c, '' ORDER BY k) AS sax
+            FROM sym s2 JOIN stats st USING (event_type)
+            GROUP BY 1, 2 ORDER BY 1
         """,
         # complexity AV + corrected profile at the production window:
         # direct left-associated 23-term diff² fold (NOT a running-sum

@@ -1317,3 +1317,163 @@ def prefix_dup_groups(ds, prefix_len: int = 64, min_group: int = 2,
         return agg[agg["n_docs"] >= min_group]
 
     return partitioned_group_map(pairs, ["prefix"], fold)
+
+
+def inverted_postings(ds, k: int = 20, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Inverted-index posting rows for the top-k terms by document
+    frequency: (token, doc_id, doc_freq), one row per posting.
+
+    Engine-added corpus operator (search-index build). Two passes, both
+    vocabulary-bounded:
+
+    1. Global df via the partial-combine topology (doc-unique tokens
+       in-batch, then one vocabulary-bounded groupby) -> top-k terms
+       (ties break token ascending), broadcast once via ``ray.put``.
+    2. Zero-shuffle posting scan: each batch re-tokenizes its docs and
+       emits (token, doc_id) rows only for the broadcast term set.
+
+    At 100-TB scale the posting rows ARE the scalable index layout
+    (hash-partition by token to build posting shards); k bounds the
+    driver-visible result, not the topology.
+    """
+    import pandas as pd
+    import ray
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col])), r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        pairs = pd.DataFrame({
+            "doc": doc_idx,
+            "token": np.asarray(pc.list_flatten(toks)),
+        })
+        pairs = pairs[pairs["token"] != ""].drop_duplicates(["doc", "token"])
+        cnt = pairs.groupby("token", as_index=False).size()
+        return pa.table({
+            "token": pa.array(cnt["token"], pa.string()),
+            "doc_freq": pa.array(cnt["size"].to_numpy(dtype=np.int64)),
+        })
+
+    totals = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .sum("doc_freq")
+    )
+    top = (
+        totals.map_batches(
+            lambda t: t.rename_columns(
+                [c if c != "sum(doc_freq)" else "doc_freq"
+                 for c in t.column_names]),
+            batch_format="pyarrow")
+        .sort(["doc_freq", "token"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    df_of = {r["token"]: int(r["doc_freq"]) for r in top}
+    ref = ray.put(df_of)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        terms = ray.get(ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col])), r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        pairs = pd.DataFrame({
+            "doc_pos": doc_idx,
+            "token": np.asarray(pc.list_flatten(toks)),
+        }).drop_duplicates()
+        pairs = pairs[pairs["token"].isin(terms)]
+        ids = np.asarray(batch[id_col])[pairs["doc_pos"].to_numpy()]
+        return pa.table({
+            "token": pa.array(pairs["token"].to_numpy(), pa.string()),
+            id_col: pa.array(ids, pa.int64()),
+            "doc_freq": pa.array(
+                pairs["token"].map(terms).to_numpy(dtype=np.int64)),
+        })
+
+    return ds.map_batches(postings, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    max_vocab: int = 1_000_000):
+    """Highest-tf-idf term per document: (doc_id, token, tfidf).
+
+    score = tf(doc, token) * ln(N / df(token)); ranking per doc breaks
+    ties by ROUND(score, 6) DESC then token ASC so the winner is stable
+    under last-ulp float drift. Topology: one vocabulary-bounded df
+    groupby, the (token -> df) map broadcast ONCE via ``ray.put``
+    (raising loudly if the vocabulary exceeds ``max_vocab`` — at true
+    corpus scale cap the vocabulary by df before broadcasting), then a
+    zero-shuffle scoring pass; each doc's top term resolves entirely
+    in-batch because a document never spans rows.
+    """
+    import pandas as pd
+    import ray
+
+    n_docs = ds.count()
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col])), r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        pairs = pd.DataFrame({
+            "doc": doc_idx,
+            "token": np.asarray(pc.list_flatten(toks)),
+        })
+        pairs = pairs[pairs["token"] != ""].drop_duplicates(["doc", "token"])
+        cnt = pairs.groupby("token", as_index=False).size()
+        return pa.table({
+            "token": pa.array(cnt["token"], pa.string()),
+            "doc_freq": pa.array(cnt["size"].to_numpy(dtype=np.int64)),
+        })
+
+    totals = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .sum("doc_freq")
+        .take_all()
+    )
+    if len(totals) > max_vocab:
+        raise ValueError(
+            f"vocabulary {len(totals)} exceeds max_vocab={max_vocab}; "
+            "cap by df before broadcasting at corpus scale")
+    df_of = {r["token"]: int(r["sum(doc_freq)"]) for r in totals}
+    ref = ray.put(df_of)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfs = ray.get(ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col])), r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        pairs = pd.DataFrame({
+            "doc_pos": doc_idx,
+            "token": np.asarray(pc.list_flatten(toks)),
+        })
+        pairs = pairs[pairs["token"] != ""]
+        tf = pairs.groupby(["doc_pos", "token"], as_index=False).size()
+        dfv = tf["token"].map(dfs).to_numpy(dtype="d")
+        raw = tf["size"].to_numpy(dtype="d") * np.log(n_docs / dfv)
+        # half-away rounding (SQL ROUND semantics) BEFORE ranking
+        f = np.floor(np.abs(raw) * 1e6)
+        bump = (np.abs(raw) * 1e6 - f) >= 0.5
+        tf["tfidf"] = np.sign(raw) * (f + bump) / 1e6
+        tf = tf.sort_values(
+            ["doc_pos", "tfidf", "token"],
+            ascending=[True, False, True]).drop_duplicates(
+            "doc_pos", keep="first")
+        ids = np.asarray(batch[id_col])[tf["doc_pos"].to_numpy()]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "token": pa.array(tf["token"].to_numpy(), pa.string()),
+            "tfidf": pa.array(tf["tfidf"].to_numpy(dtype="d"), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

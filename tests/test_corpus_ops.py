@@ -1693,3 +1693,78 @@ class TestDupSpanStats:
             want = sum(int(cp[i + j]) * pow(B, j, 2**64)
                        for j in range(9)) % 2**64
             assert int(h[i]) == want
+
+
+class TestInvertedPostings:
+    """inverted_postings + tfidf_top_terms (stages/text.py): hand-checked
+    df/tf/idf math on a tiny corpus through Ray Data."""
+
+    @pytest.fixture()
+    def docs_ds(self, ray_session):
+        import ray.data as rd
+
+        texts = [
+            "apple banana apple",        # doc 0
+            "banana cherry",             # doc 1
+            "apple cherry cherry date",  # doc 2
+            "banana banana banana",      # doc 3
+        ]
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+
+    def test_postings_rows(self, docs_ds):
+        from matrixprofile_ray.stages.text import inverted_postings
+
+        df = (inverted_postings(docs_ds, k=2).to_pandas()
+              .sort_values(["token", "doc_id"]).reset_index(drop=True))
+        # df: apple=2, banana=3, cherry=2, date=1; top-2 by (df desc,
+        # token asc) = banana(3), apple(2)
+        assert set(df["token"]) == {"banana", "apple"}
+        assert df[df["token"] == "banana"]["doc_id"].tolist() == [0, 1, 3]
+        assert df[df["token"] == "apple"]["doc_id"].tolist() == [0, 2]
+        assert (df[df["token"] == "banana"]["doc_freq"] == 3).all()
+
+    def test_postings_doc_unique(self, docs_ds):
+        from matrixprofile_ray.stages.text import inverted_postings
+
+        df = inverted_postings(docs_ds, k=10).to_pandas()
+        # one posting row per (token, doc) even when the token repeats
+        assert not df.duplicated(["token", "doc_id"]).any()
+
+    def test_tfidf_top_term(self, docs_ds):
+        from matrixprofile_ray.stages.text import tfidf_top_terms
+
+        df = (tfidf_top_terms(docs_ds).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        assert len(df) == 4
+        # doc 0: apple tf=2 idf=ln(4/2) -> 1.386294; banana tf=1
+        # idf=ln(4/3) -> apple wins
+        assert df.loc[0, "token"] == "apple"
+        assert df.loc[0, "tfidf"] == pytest.approx(
+            round(2 * np.log(4 / 2), 6))
+        # doc 2: cherry tf=2 ln(2) beats date tf=1 ln(4)
+        assert df.loc[2, "token"] == "cherry"
+        # doc 3: banana tf=3 idf=ln(4/3)
+        assert df.loc[3, "token"] == "banana"
+        assert df.loc[3, "tfidf"] == pytest.approx(
+            round(3 * np.log(4 / 3), 6))
+
+    def test_tfidf_tie_breaks_token_asc(self, ray_session):
+        import ray.data as rd
+        from matrixprofile_ray.stages.text import tfidf_top_terms
+
+        # both tokens: tf=1, df=1 -> equal score; 'aaa' < 'zzz'
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array(["zzz aaa"], pa.string()),
+        }))
+        df = tfidf_top_terms(ds).to_pandas()
+        assert df.loc[0, "token"] == "aaa"
+
+    def test_tfidf_vocab_cap_raises(self, docs_ds):
+        from matrixprofile_ray.stages.text import tfidf_top_terms
+
+        with pytest.raises(ValueError, match="max_vocab"):
+            tfidf_top_terms(docs_ds, max_vocab=2).take_all()
