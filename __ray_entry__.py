@@ -2000,6 +2000,94 @@ def q_sax_events_1h(sf_dir: str):
     return df.sort_values("event_type").reset_index(drop=True)
 
 
+def _counts_query(sf_dir: str, fn_per_key):
+    """Shared plumbing for the sequential-recurrence ops: hourly rollup
+    → per-key ordered int64 count series → fn_per_key(key, counts) →
+    list of row dicts. One shuffle, then partition-local kernels."""
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+    from matrixprofile_ray.util import partitioned_group_map
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+
+    def fn(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in part.groupby("event_type", sort=False):
+            counts = g.sort_values("bucket_ts")["count"].to_numpy(
+                dtype=np.int64)
+            rows.extend(fn_per_key(key, counts))
+        return pd.DataFrame(rows)
+
+    return partitioned_group_map(buckets, ["event_type"], fn).to_pandas()
+
+
+def q_ewma_events_1h(sf_dir: str):
+    """EWMA (alpha=0.25, exact binary fraction) over each hourly count
+    series: final smoothed value + above-forecast count. The recurrence
+    applies the identical double expression the recursive-CTE mirror
+    evaluates, so the result is bit-reproducible (core/tsops.py)."""
+    from matrixprofile_ray.core.tsops import ewma
+
+    def per_key(key, counts):
+        e, n_above = ewma(counts, alpha=0.25)
+        return [{
+            "event_type": key,
+            "n_buckets": int(len(counts)),
+            "ewma_final": float(_round6_away_arr(np.array([e]))[0]),
+            "n_above": int(n_above),
+        }]
+
+    df = _counts_query(sf_dir, per_key)
+    for c in ("n_buckets", "n_above"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def q_cusum_events_1h(sf_dir: str):
+    """One-sided upper CUSUM (k=0.5, h=5) changepoint alarms over each
+    z-normalized hourly count series; mu/sigma from the exact-integer
+    derivation shared with SAX, the recurrence mirrored step-for-step
+    by a recursive CTE (core/tsops.py contract)."""
+    from matrixprofile_ray.core.tsops import cusum_alarms
+
+    def per_key(key, counts):
+        n_alarms, first, s_max = cusum_alarms(counts, k=0.5, h=5.0)
+        return [{
+            "event_type": key,
+            "n_buckets": int(len(counts)),
+            "n_alarms": int(n_alarms),
+            "first_alarm": int(first),
+            "s_max": float(_round6_away_arr(np.array([s_max]))[0]),
+        }]
+
+    df = _counts_query(sf_dir, per_key)
+    for c in ("n_buckets", "n_alarms", "first_alarm"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def q_lttb_events_1h(sf_dir: str):
+    """LTTB visual downsample of each hourly count series to 32 points:
+    (event_type, rank, idx, x). Bucket boundaries are integer math and
+    triangle areas derive from int-exact inputs, so the discrete picks
+    match the SQL mirror bit-for-bit (core/tsops.py contract)."""
+    from matrixprofile_ray.core.tsops import lttb_indices
+
+    def per_key(key, counts):
+        idx = lttb_indices(counts, 32)
+        return [{
+            "event_type": key,
+            "rank": int(r),
+            "idx": int(i),
+            "x": int(counts[i]),
+        } for r, i in enumerate(idx)]
+
+    df = _counts_query(sf_dir, per_key)
+    for c in ("rank", "idx", "x"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["event_type", "rank"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry() -> Any:
@@ -4502,6 +4590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_postings": q_inverted_postings,
         "tfidf_top_term": q_tfidf_top_term,
         "sax_events_1h": q_sax_events_1h,
+        "ewma_events_1h": q_ewma_events_1h,
+        "cusum_events_1h": q_cusum_events_1h,
+        "lttb_events_1h": q_lttb_events_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -7124,6 +7215,168 @@ def oracle_sql() -> dict[str, str]:
                    STRING_AGG(c, '' ORDER BY k) AS sax
             FROM sym s2 JOIN stats st USING (event_type)
             GROUP BY 1, 2 ORDER BY 1
+        """,
+        # EWMA recurrence mirrored one step per recursive iteration;
+        # alpha=0.25 is an exact binary fraction so 0.25*x + 0.75*e is
+        # the identical pair of double ops core/tsops.py applies.
+        "ewma_events_1h": f"""
+            WITH RECURSIVE b AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       COUNT(*)::BIGINT AS x
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, x,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY bucket_ts
+                       ) - 1 AS i,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM b
+            ), r AS (
+                SELECT event_type, i, n, CAST(x AS DOUBLE) AS e,
+                       0::BIGINT AS n_above
+                FROM s WHERE i = 0
+                UNION ALL
+                SELECT s2.event_type, s2.i, s2.n,
+                       0.25 * s2.x + 0.75 * r.e,
+                       r.n_above
+                           + CASE WHEN s2.x > r.e THEN 1 ELSE 0 END
+                FROM r JOIN s s2
+                  ON s2.event_type = r.event_type AND s2.i = r.i + 1
+            ), fin AS (
+                SELECT event_type, n, e, n_above,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY i DESC
+                       ) AS rn
+                FROM r
+            )
+            SELECT event_type, n AS n_buckets, ROUND(e, 6) AS ewma_final,
+                   n_above
+            FROM fin WHERE rn = 1 ORDER BY event_type
+        """,
+        # CUSUM: z from the exact-integer mu/sigma (same derivation as
+        # sax_events_1h, over counts), S advanced one step per
+        # recursive iteration with GREATEST(0, s + (z - k)).
+        "cusum_events_1h": f"""
+            WITH RECURSIVE b AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       COUNT(*)::BIGINT AS x
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, x,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY bucket_ts
+                       ) - 1 AS i,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM b
+            ), stats AS (
+                SELECT event_type, COUNT(*)::BIGINT AS n_buckets,
+                       CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE)
+                           / COUNT(*) AS mu,
+                       sqrt(CAST(SUM(CAST(x AS HUGEINT) * x) * COUNT(*)
+                                 - SUM(CAST(x AS HUGEINT))
+                                   * SUM(CAST(x AS HUGEINT)) AS DOUBLE)
+                            / (COUNT(*) * COUNT(*))) AS sigma
+                FROM b GROUP BY 1
+            ), r AS (
+                SELECT s.event_type, s.i,
+                       GREATEST(0.0,
+                           CASE WHEN st.sigma = 0 THEN 0.0
+                                ELSE (s.x - st.mu) / st.sigma END
+                           - 0.5) AS sv
+                FROM s JOIN stats st USING (event_type) WHERE s.i = 0
+                UNION ALL
+                SELECT s2.event_type, s2.i,
+                       GREATEST(0.0, r.sv +
+                           (CASE WHEN st.sigma = 0 THEN 0.0
+                                 ELSE (s2.x - st.mu) / st.sigma END
+                            - 0.5))
+                FROM r JOIN s s2
+                  ON s2.event_type = r.event_type AND s2.i = r.i + 1
+                JOIN stats st ON st.event_type = s2.event_type
+            )
+            SELECT event_type, st.n_buckets,
+                   SUM(CASE WHEN sv > 5.0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_alarms,
+                   COALESCE(MIN(CASE WHEN sv > 5.0 THEN i END),
+                            -1)::BIGINT AS first_alarm,
+                   ROUND(MAX(sv), 6) AS s_max
+            FROM r JOIN stats st USING (event_type)
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        # LTTB: integer bucket boundaries 1 + k*(n-2)//30, next-bucket
+        # mean point from exact integer sums, triangle-area argmax with
+        # first-max tie-break (list_position) — the carried previous
+        # pick advances one bucket per recursive iteration. All area
+        # inputs are int-exact, so picks match core/tsops.py to the bit.
+        "lttb_events_1h": f"""
+            WITH RECURSIVE b AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       COUNT(*)::BIGINT AS x
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, x,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY bucket_ts
+                       ) - 1 AS i
+                FROM b
+            ), arr AS (
+                SELECT event_type, COUNT(*)::BIGINT AS n,
+                       list(x ORDER BY i) AS ys
+                FROM s GROUP BY 1
+            ), bk AS (
+                SELECT a.event_type, gs.range::BIGINT AS k,
+                       1 + gs.range * (a.n - 2) // 30 AS lo,
+                       1 + (gs.range + 1) * (a.n - 2) // 30 AS hi,
+                       CASE WHEN gs.range + 1 < 30 THEN
+                           ((1 + (gs.range + 1) * (a.n - 2) // 30)
+                            + (1 + (gs.range + 2) * (a.n - 2) // 30) - 1)
+                           / 2.0
+                       ELSE CAST(a.n - 1 AS DOUBLE) END AS ax,
+                       CASE WHEN gs.range + 1 < 30 THEN
+                           CAST(list_sum(a.ys[
+                               (1 + (gs.range + 1) * (a.n - 2) // 30) + 1
+                               : 1 + (gs.range + 2) * (a.n - 2) // 30
+                           ]) AS DOUBLE)
+                           / ((1 + (gs.range + 2) * (a.n - 2) // 30)
+                              - (1 + (gs.range + 1) * (a.n - 2) // 30))
+                       ELSE CAST(a.ys[a.n] AS DOUBLE) END AS ay,
+                       a.n, a.ys
+                FROM arr a JOIN range(30) gs ON true
+            ), r AS (
+                SELECT event_type, -1::BIGINT AS k, 0::BIGINT AS ia,
+                       CAST(ys[1] AS DOUBLE) AS iy
+                FROM arr
+                UNION ALL
+                SELECT event_type, k, lo + pos - 1 AS ia,
+                       CAST(ys[lo + pos] AS DOUBLE) AS iy
+                FROM (
+                    SELECT event_type, k, lo, ys,
+                           list_position(areas, list_max(areas)) AS pos
+                    FROM (
+                        SELECT bb.event_type, bb.k, bb.lo, bb.ys,
+                               [abs((r.ia - bb.ax)
+                                    * (bb.ys[bb.lo + j] - r.iy)
+                                    - (r.ia - (bb.lo + j - 1))
+                                    * (bb.ay - r.iy))
+                                FOR j IN generate_series(
+                                    1, bb.hi - bb.lo)] AS areas
+                        FROM r JOIN bk bb
+                          ON bb.event_type = r.event_type
+                         AND bb.k = r.k + 1
+                    )
+                )
+            )
+            SELECT r.event_type, r.k + 1 AS rank, r.ia AS idx,
+                   CAST(a.ys[r.ia + 1] AS BIGINT) AS x
+            FROM r JOIN arr a USING (event_type)
+            UNION ALL
+            SELECT event_type, 31 AS rank, n - 1 AS idx,
+                   CAST(ys[n] AS BIGINT) AS x
+            FROM arr
+            ORDER BY event_type, rank
         """,
         # complexity AV + corrected profile at the production window:
         # direct left-associated 23-term diff² fold (NOT a running-sum
