@@ -2088,6 +2088,89 @@ def q_lttb_events_1h(sf_dir: str):
     return df.sort_values(["event_type", "rank"]).reset_index(drop=True)
 
 
+def q_trend_events_1h(sf_dir: str):
+    """OLS linear trend (slope, intercept vs bucket index) of each
+    hourly count series from five exact-integer sufficient statistics;
+    the two final double expressions match the SQL mirror in rounding
+    points and association order (core/tsops.py ols_trend)."""
+    from matrixprofile_ray.core.tsops import ols_trend
+
+    def per_key(key, counts):
+        slope, intercept = ols_trend(counts)
+        return [{
+            "event_type": key,
+            "n_buckets": int(len(counts)),
+            "slope": float(_round6_away_arr(np.array([slope]))[0]),
+            "intercept": float(_round6_away_arr(np.array([intercept]))[0]),
+        }]
+
+    df = _counts_query(sf_dir, per_key)
+    df["n_buckets"] = df["n_buckets"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def q_acf_events_1h(sf_dir: str):
+    """Autocorrelation of each hourly count series at lags 1 and 24
+    (daily-seasonality probe), the mean-anchored estimator expanded so
+    every sum is an exact integer and the float expression matches the
+    SQL mirror term-for-term (core/tsops.py acf)."""
+    from matrixprofile_ray.core.tsops import acf
+
+    def per_key(key, counts):
+        return [{
+            "event_type": key,
+            "lag": int(lag),
+            "acf": float(_round6_away_arr(
+                np.array([acf(counts, lag)]))[0]),
+        } for lag in (1, 24)]
+
+    df = _counts_query(sf_dir, per_key)
+    df["lag"] = df["lag"].astype("int64")
+    return df.sort_values(["event_type", "lag"]).reset_index(drop=True)
+
+
+def q_anomaly_topk_1h(sf_dir: str):
+    """Global anomaly leaderboard: the 20 hourly buckets with the
+    largest |z| across ALL keys. Per-key exact-integer mu/sigma and the
+    z scores are computed inside ONE partitioned kernel (no extra
+    exchange), then a global sort + limit — the distributed-top-k
+    topology over the anomaly scores. z doubles are bit-identical to
+    the mirror, so the top-20 set and ranks agree exactly."""
+    from matrixprofile_ray.core.tsops import exact_mu_sigma
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+    from matrixprofile_ray.util import partitioned_group_map
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+
+    def fn(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("bucket_ts")
+            x = g["count"].to_numpy(dtype=np.int64)
+            mu, sigma = exact_mu_sigma(x)
+            z = np.zeros(len(x)) if sigma == 0.0 else (
+                x.astype("d") - mu) / sigma
+            outs.append(pd.DataFrame({
+                "event_type": key,
+                "bucket_ts": g["bucket_ts"].to_numpy(dtype=np.int64),
+                "x": x,
+                "z": z,
+                "abs_z": np.abs(z),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    scored = partitioned_group_map(buckets, ["event_type"], fn)
+    top = scored.sort(
+        ["abs_z", "event_type", "bucket_ts"],
+        descending=[True, False, False]).limit(20).to_pandas()
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["z"] = _round6_away_arr(top["z"].to_numpy(dtype="d"))
+    for c in ("bucket_ts", "x"):
+        top[c] = top[c].astype("int64")
+    return top[["rank", "event_type", "bucket_ts", "x", "z"]]
+
+
 # ---------------------------------------------------------------- contract
 
 def entry() -> Any:
@@ -4593,6 +4676,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_events_1h": q_ewma_events_1h,
         "cusum_events_1h": q_cusum_events_1h,
         "lttb_events_1h": q_lttb_events_1h,
+        "trend_events_1h": q_trend_events_1h,
+        "acf_events_1h": q_acf_events_1h,
+        "anomaly_topk_1h": q_anomaly_topk_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -7377,6 +7463,118 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ys[n] AS BIGINT) AS x
             FROM arr
             ORDER BY event_type, rank
+        """,
+        # OLS trend from HUGEINT-exact sufficient statistics; the final
+        # expressions round each integer to double at the same points
+        # core/tsops.py ols_trend does.
+        "trend_events_1h": f"""
+            WITH b AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       COUNT(*)::BIGINT AS x
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, x,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY bucket_ts
+                       ) - 1 AS i
+                FROM b
+            ), suf AS (
+                SELECT event_type, COUNT(*)::BIGINT AS n,
+                       SUM(CAST(x AS HUGEINT)) AS sx,
+                       SUM(CAST(i AS HUGEINT) * x) AS six,
+                       SUM(CAST(i AS HUGEINT)) AS si,
+                       SUM(CAST(i AS HUGEINT) * i) AS sii
+                FROM s GROUP BY 1
+            ), sl AS (
+                SELECT event_type, n, sx, si,
+                       CAST(n * six - si * sx AS DOUBLE)
+                           / CAST(n * sii - si * si AS DOUBLE) AS slope
+                FROM suf
+            )
+            SELECT event_type, n AS n_buckets,
+                   ROUND(slope, 6) AS slope,
+                   ROUND((CAST(sx AS DOUBLE)
+                          - slope * CAST(si AS DOUBLE)) / n, 6)
+                       AS intercept
+            FROM sl ORDER BY event_type
+        """,
+        # autocorrelation at lags 1 and 24: mean-anchored estimator
+        # expanded over exact integer sums; num/den float expressions
+        # match core/tsops.py acf term-for-term and in association
+        # order ((a - b) + c, ((k*mu)*mu)).
+        "acf_events_1h": f"""
+            WITH b AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       COUNT(*)::BIGINT AS x
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, x,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY bucket_ts
+                       ) - 1 AS i
+                FROM b
+            ), stats AS (
+                SELECT event_type, COUNT(*)::BIGINT AS n,
+                       CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE)
+                           / COUNT(*) AS mu,
+                       SUM(CAST(x AS HUGEINT) * x) AS ssq
+                FROM s GROUP BY 1
+            ), lagsum AS (
+                SELECT a.event_type, lg.l AS lag,
+                       SUM(CAST(a.x AS HUGEINT) * b2.x) AS sxx,
+                       SUM(CAST(a.x AS HUGEINT)) AS shead,
+                       SUM(CAST(b2.x AS HUGEINT)) AS stail
+                FROM s a
+                JOIN (VALUES (1), (24)) lg(l) ON true
+                JOIN s b2 ON b2.event_type = a.event_type
+                         AND b2.i = a.i + lg.l
+                GROUP BY 1, 2
+            )
+            SELECT ls.event_type, ls.lag,
+                   ROUND((CAST(ls.sxx AS DOUBLE)
+                          - st.mu * CAST(ls.shead + ls.stail AS DOUBLE)
+                          + (CAST(st.n - ls.lag AS DOUBLE) * st.mu)
+                            * st.mu)
+                         / (CAST(st.ssq AS DOUBLE)
+                            - (CAST(st.n AS DOUBLE) * st.mu) * st.mu),
+                         6) AS acf
+            FROM lagsum ls JOIN stats st USING (event_type)
+            ORDER BY 1, 2
+        """,
+        # global anomaly top-20 by |z|: z from the exact-integer
+        # mu/sigma (bit-identical doubles), deterministic tie-break
+        # chain, ranks assigned after the same total order.
+        "anomaly_topk_1h": f"""
+            WITH b AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       COUNT(*)::BIGINT AS x
+                FROM events GROUP BY 1, 2
+            ), stats AS (
+                SELECT event_type,
+                       CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE)
+                           / COUNT(*) AS mu,
+                       sqrt(CAST(SUM(CAST(x AS HUGEINT) * x) * COUNT(*)
+                                 - SUM(CAST(x AS HUGEINT))
+                                   * SUM(CAST(x AS HUGEINT)) AS DOUBLE)
+                            / (COUNT(*) * COUNT(*))) AS sigma
+                FROM b GROUP BY 1
+            ), z AS (
+                SELECT b.event_type, b.bucket_ts, b.x,
+                       CASE WHEN st.sigma = 0 THEN 0.0
+                            ELSE (b.x - st.mu) / st.sigma END AS z
+                FROM b JOIN stats st USING (event_type)
+            ), ranked AS (
+                SELECT event_type, bucket_ts, x, z,
+                       row_number() OVER (
+                           ORDER BY abs(z) DESC, event_type, bucket_ts
+                       ) AS rank
+                FROM z
+            )
+            SELECT rank, event_type, bucket_ts, x, ROUND(z, 6) AS z
+            FROM ranked WHERE rank <= 20 ORDER BY rank
         """,
         # complexity AV + corrected profile at the production window:
         # direct left-associated 23-term diff² fold (NOT a running-sum

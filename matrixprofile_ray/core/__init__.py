@@ -51,6 +51,15 @@ from matrixprofile_ray.core.mpdist import (
 )
 from matrixprofile_ray.core.skimp import binary_split, maximum_subsequence, skimp
 from matrixprofile_ray.core.statistics import statistics
+from matrixprofile_ray.core.sax import paa, sax_symbols, sax_symbols_exact
+from matrixprofile_ray.core.tsops import (
+    acf,
+    cusum_alarms,
+    ewma,
+    exact_mu_sigma,
+    lttb_indices,
+    ols_trend,
+)
 from matrixprofile_ray.core.preprocess import (
     add_noise_to_series,
     impute_missing,

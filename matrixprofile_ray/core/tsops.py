@@ -26,7 +26,8 @@ import math
 
 import numpy as np
 
-__all__ = ["ewma", "cusum_alarms", "lttb_indices", "exact_mu_sigma"]
+__all__ = ["ewma", "cusum_alarms", "lttb_indices", "exact_mu_sigma",
+           "ols_trend", "acf"]
 
 
 def exact_mu_sigma(x_int) -> tuple[float, float]:
@@ -145,3 +146,60 @@ def lttb_indices(x_int, n_out: int) -> np.ndarray:
         ia, iy = pick, float(xs[pick])
     picks.append(n - 1)
     return np.asarray(picks, dtype=np.int64)
+
+
+def ols_trend(x_int) -> tuple[float, float]:
+    """Least-squares linear trend (slope, intercept) of integer bucket
+    counts against their positional index 0..n-1.
+
+    All five sufficient statistics (n, Σx, Σi, Σi·x, Σi²) are exact
+    integers (arbitrary precision — n·Σi·x passes 2^53 on long series),
+    and the two final expressions round each integer to double BEFORE
+    the division/multiplication, in the same order the SQL mirror
+    evaluates:
+
+        slope     = double(n·Σix − Σi·Σx) / double(n·Σii − Σi²)
+        intercept = (double(Σx) − slope·double(Σi)) / n
+    """
+    xs = [int(v) for v in np.asarray(x_int)]
+    n = len(xs)
+    if n < 2:
+        raise ValueError("need at least 2 points for a trend")
+    sx = sum(xs)
+    six = sum(i * v for i, v in enumerate(xs))
+    si = n * (n - 1) // 2
+    sii = (n - 1) * n * (2 * n - 1) // 6
+    slope = float(n * six - si * sx) / float(n * sii - si * si)
+    intercept = (float(sx) - slope * float(si)) / float(n)
+    return slope, intercept
+
+
+def acf(x_int, lag: int) -> float:
+    """Autocorrelation at ``lag`` of integer bucket counts (the standard
+    mean-anchored estimator):
+
+        acf = Σ(x_i−mu)(x_{i+L}−mu) / Σ(x_i−mu)²
+
+    expanded so every sum is an exact integer and the float expression
+    matches the SQL mirror term-for-term and in association order:
+
+        num = double(Σ x_i·x_{i+L}) − mu·double(Σhead + Σtail)
+              + (double(n−L)·mu)·mu
+        den = double(Σx²) − (double(n)·mu)·mu
+    """
+    xs = [int(v) for v in np.asarray(x_int)]
+    n = len(xs)
+    if not 0 < lag < n:
+        raise ValueError(f"lag {lag} out of range for n={n}")
+    s = sum(xs)
+    ssq = sum(v * v for v in xs)
+    mu = float(s) / float(n)
+    sxx = sum(xs[i] * xs[i + lag] for i in range(n - lag))
+    shead = sum(xs[: n - lag])
+    stail = sum(xs[lag:])
+    num = (float(sxx) - mu * float(shead + stail)
+           + (float(n - lag) * mu) * mu)
+    den = float(ssq) - (float(n) * mu) * mu
+    if den == 0.0:
+        return 0.0
+    return num / den

@@ -114,3 +114,57 @@ class TestLttb:
     def test_n_out_floor(self):
         with pytest.raises(ValueError):
             lttb_indices(np.arange(100, dtype=np.int64), 2)
+
+
+class TestTrendAcf:
+    def test_trend_exact_line(self):
+        from matrixprofile_ray.core.tsops import ols_trend
+
+        slope, intercept = ols_trend(np.arange(50, dtype=np.int64) * 3 + 7)
+        assert slope == 3.0 and intercept == 7.0
+
+    def test_trend_matches_polyfit(self):
+        from matrixprofile_ray.core.tsops import ols_trend
+
+        rng = np.random.default_rng(13)
+        x = rng.integers(0, 500, 200).astype(np.int64)
+        slope, intercept = ols_trend(x)
+        ref = np.polyfit(np.arange(200), x.astype("d"), 1)
+        assert slope == pytest.approx(ref[0], rel=1e-9)
+        assert intercept == pytest.approx(ref[1], rel=1e-9)
+
+    def test_trend_needs_two(self):
+        from matrixprofile_ray.core.tsops import ols_trend
+
+        with pytest.raises(ValueError):
+            ols_trend(np.array([5], dtype=np.int64))
+
+    def test_acf_periodic(self):
+        from matrixprofile_ray.core.tsops import acf
+
+        x = np.tile([10, 0], 100).astype(np.int64)
+        assert acf(x, 2) > 0.9    # period-2 signal: lag-2 high
+        assert acf(x, 1) < -0.9   # lag-1 anti-correlated
+
+    def test_acf_matches_numpy(self):
+        from matrixprofile_ray.core.tsops import acf
+
+        rng = np.random.default_rng(17)
+        x = rng.integers(0, 100, 300).astype(np.int64)
+        for lag in (1, 24):
+            xf = x.astype("d")
+            mu = xf.mean()
+            ref = ((xf[:-lag] - mu) * (xf[lag:] - mu)).sum() / (
+                ((xf - mu) ** 2).sum())
+            assert acf(x, lag) == pytest.approx(ref, rel=1e-9)
+
+    def test_acf_constant_series(self):
+        from matrixprofile_ray.core.tsops import acf
+
+        assert acf(np.full(50, 9, dtype=np.int64), 1) == 0.0
+
+    def test_acf_lag_bounds(self):
+        from matrixprofile_ray.core.tsops import acf
+
+        with pytest.raises(ValueError):
+            acf(np.arange(10, dtype=np.int64), 10)

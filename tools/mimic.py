@@ -24,6 +24,13 @@ import __ray_entry__ as e
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 con = duckdb.connect()
+# Bound DuckDB's budget explicitly: its default (80% of RAM) collides
+# with Ray's object-store reservation and the heaviest w24g recursive
+# CTEs then die with bad_alloc instead of spilling. A hard limit plus a
+# temp_directory makes them spill to disk and finish.
+con.execute("SET memory_limit='40GB'")
+os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in TABLES:
     p = os.path.join(SF, f"{t}.parquet")
     if os.path.exists(p):
@@ -61,8 +68,14 @@ names = NAMES or list(oracles)
 out = {}
 for name in names:
     try:
+        import time as _time
+        _t0 = _time.time()
         got = to_df(qs[name](SF))
+        _t1 = _time.time()
         want = con.execute(oracles[name]).df()
+        print(f"[mimic] {name}: ray {_t1 - _t0:.1f}s "
+              f"oracle {_time.time() - _t1:.1f}s",
+              file=sys.stderr, flush=True)
         rows = len(got) == len(want)
         schema = sorted(got.columns) == sorted(want.columns)
         hm = value_hash(got) == value_hash(want) if rows and schema else False
