@@ -1,6 +1,18 @@
 """Driver-mimic: run Ray query + DuckDB oracle side-by-side, compare
 row count, schema (column names), and a value hash over name-sorted
-columns — the same comparison shape as CORRECTNESS_r*.json."""
+columns — the same comparison shape as CORRECTNESS_r*.json.
+
+OPERATIONAL LIMIT: one process exhausts vm.max_map_count (65530) after
+roughly 100 query executions — Ray Data + Arrow + DuckDB accumulate
+memory maps per dataset run, and at the ceiling mmap-backed allocations
+fail as DuckDB "Out of Memory ... bad allocation" and Python "can't
+start new thread" REGARDLESS of the query. Run the full sweep in chunks
+of ≤~60 names per process:
+
+    python tools/mimic.py <sf_dir> "name1,name2,..."
+
+(the driver's 50-query prefix sample is safely under the ceiling).
+"""
 import hashlib
 import json
 import os
