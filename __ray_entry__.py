@@ -2171,6 +2171,71 @@ def q_anomaly_topk_1h(sf_dir: str):
     return top[["rank", "event_type", "bucket_ts", "x", "z"]]
 
 
+def _lr_pi_w4(c: np.ndarray):
+    """Left/right nearest-neighbor indices at w=4 (ez=1) from the brute
+    z-window machinery, with the ORACLE's exact semantics: argmin over
+    ROUND(dist, 6) with smallest-j tie-break, restricted to j <= i-2
+    (left) / j >= i+2 (right); -1 when the side is empty. Returns
+    (idx, lpi, rpi) or None for too-short series."""
+    from matrixprofile_ray.stages.relational import _round6_away
+
+    if len(c) < 7:
+        return None
+    idx, z = _zwin_w4(c)
+    dr = _round6_away(_brute_dist_w4(z, z))
+    ii, jj = idx[:, None], idx[None, :]
+
+    def amin(masked):
+        mn = masked.min(axis=1)
+        p = idx[np.argmax(masked == mn[:, None], axis=1)]
+        return np.where(np.isfinite(mn), p, -1).astype(np.int64)
+
+    left = np.where(jj <= ii - 2, dr, np.inf)
+    right = np.where(jj >= ii + 2, dr, np.inf)
+    return idx.astype(np.int64), amin(left), amin(right)
+
+
+def q_chains_1h(sf_dir: str):
+    """Time-series chains (Matrix Profile VII) UNDER THE ORACLE: per
+    hourly count series, left/right w=4 nearest neighbors by the
+    bit-mirrored brute derivation, bidirectional-consistency links
+    (rpi[i]=j AND lpi[j]=i), and the longest (unanchored) chain with
+    smallest-start tie-break. Chain-following is pure integer logic, so
+    once lpi/rpi match the SQL mirror the rows are exact. Scale note:
+    like profile_brute_1h this is the O(len²) oracle-visibility path;
+    production chains run off core.stomp's O(n) left/right profiles
+    (pytest-linked in tests/test_chains.py)."""
+    from matrixprofile_ray.core.chains import unanchored_chain
+    from matrixprofile_ray.pipelines.timeseries import rollup_events
+    from matrixprofile_ray.util import partitioned_group_map
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    buckets = rollup_events(ds, H1)
+
+    def fn(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in part.groupby("event_type", sort=False):
+            c = g.sort_values("bucket_ts")["count"].to_numpy(dtype="d")
+            res = _lr_pi_w4(c)
+            if res is None:
+                continue
+            idx, lpi, rpi = res
+            chain = unanchored_chain(idx, lpi, rpi)
+            rows.extend({
+                "event_type": key,
+                "pos": int(p),
+                "idx": int(i),
+                "chain_len": int(len(chain)),
+            } for p, i in enumerate(chain))
+        return pd.DataFrame(
+            rows, columns=["event_type", "pos", "idx", "chain_len"])
+
+    df = partitioned_group_map(buckets, ["event_type"], fn).to_pandas()
+    for col in ("pos", "idx", "chain_len"):
+        df[col] = df[col].astype("int64")
+    return df.sort_values(["event_type", "pos"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry() -> Any:
@@ -4679,6 +4744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_events_1h": q_trend_events_1h,
         "acf_events_1h": q_acf_events_1h,
         "anomaly_topk_1h": q_anomaly_topk_1h,
+        "chains_1h": q_chains_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -7575,6 +7641,67 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rank, event_type, bucket_ts, x, ROUND(z, 6) AS z
             FROM ranked WHERE rank <= 20 ORDER BY rank
+        """,
+        # time-series chains: left/right nearest neighbors from the
+        # shared z-window mirror, bidirectional-consistency links, and
+        # a recursive walk from chain starts (links form disjoint paths
+        # so the walk is O(#windows)); longest chain, smallest-start
+        # tie-break. Integer-exact once lpi/rpi match.
+        "chains_1h": f"""
+            WITH RECURSIVE {_zwin_sql_cte()}, pairs AS (
+                SELECT a.event_type, a.i, b.i AS j,
+                       (b.i < a.i) AS is_left,
+                       ROUND({_DIST4_SQL}, 6) AS dist
+                FROM z a JOIN z b
+                  ON a.event_type = b.event_type AND abs(a.i - b.i) > 1
+                WHERE a.n >= 7
+            ), lr AS (
+                SELECT event_type, i, j, is_left,
+                       row_number() OVER (
+                           PARTITION BY event_type, i, is_left
+                           ORDER BY dist ASC, j ASC
+                       ) AS rn
+                FROM pairs
+            ), lpi AS (
+                SELECT event_type, i, j AS lp FROM lr
+                WHERE is_left AND rn = 1
+            ), rpi AS (
+                SELECT event_type, i, j AS rp FROM lr
+                WHERE NOT is_left AND rn = 1
+            ), links AS (
+                SELECT r.event_type, r.i, r.rp AS j
+                FROM rpi r JOIN lpi l
+                  ON l.event_type = r.event_type AND l.i = r.rp
+                WHERE l.lp = r.i
+            ), starts AS (
+                SELECT zz.event_type, zz.i FROM z zz
+                WHERE zz.n >= 7 AND NOT EXISTS (
+                    SELECT 1 FROM links l
+                    WHERE l.event_type = zz.event_type AND l.j = zz.i)
+            ), walk AS (
+                SELECT event_type, i AS start, i AS node,
+                       0::BIGINT AS pos
+                FROM starts
+                UNION ALL
+                SELECT w.event_type, w.start, l.j, w.pos + 1
+                FROM walk w JOIN links l
+                  ON l.event_type = w.event_type AND l.i = w.node
+            ), lens AS (
+                SELECT event_type, start, max(pos) + 1 AS chain_len
+                FROM walk GROUP BY 1, 2
+            ), best AS (
+                SELECT event_type, start, chain_len,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY chain_len DESC, start ASC
+                       ) AS rn
+                FROM lens
+            )
+            SELECT w.event_type, w.pos, w.node AS idx, b.chain_len
+            FROM walk w JOIN best b
+              ON b.event_type = w.event_type AND b.start = w.start
+            WHERE b.rn = 1
+            ORDER BY w.event_type, w.pos
         """,
         # complexity AV + corrected profile at the production window:
         # direct left-associated 23-term diff² fold (NOT a running-sum

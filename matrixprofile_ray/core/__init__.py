@@ -52,6 +52,11 @@ from matrixprofile_ray.core.mpdist import (
 from matrixprofile_ray.core.skimp import binary_split, maximum_subsequence, skimp
 from matrixprofile_ray.core.statistics import statistics
 from matrixprofile_ray.core.sax import paa, sax_symbols, sax_symbols_exact
+from matrixprofile_ray.core.chains import (
+    all_chain_set,
+    chain_links,
+    unanchored_chain,
+)
 from matrixprofile_ray.core.tsops import (
     acf,
     cusum_alarms,
