@@ -2236,6 +2236,29 @@ def q_chains_1h(sf_dir: str):
     return df.sort_values(["event_type", "pos"]).reset_index(drop=True)
 
 
+def q_holt_events_1h(sf_dir: str):
+    """Holt linear forecasting (alpha=0.5, beta=0.25, exact binary
+    fractions) over each hourly count series: final level/trend and the
+    24-hour-ahead forecast, recurrence mirrored step-for-step by a
+    recursive CTE (core/tsops.py holt contract)."""
+    from matrixprofile_ray.core.tsops import holt
+
+    def per_key(key, counts):
+        lev, tr = holt(counts, alpha=0.5, beta=0.25)
+        vals = _round6_away_arr(np.array([lev, tr, lev + 24.0 * tr]))
+        return [{
+            "event_type": key,
+            "n_buckets": int(len(counts)),
+            "level": float(vals[0]),
+            "trend": float(vals[1]),
+            "forecast_24h": float(vals[2]),
+        }]
+
+    df = _counts_query(sf_dir, per_key)
+    df["n_buckets"] = df["n_buckets"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry() -> Any:
@@ -4745,6 +4768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_events_1h": q_acf_events_1h,
         "anomaly_topk_1h": q_anomaly_topk_1h,
         "chains_1h": q_chains_1h,
+        "holt_events_1h": q_holt_events_1h,
         # -- array-valued / non-SQL results (driver rows-only check):
         # production w=24 pipelines (benched under these names) and
         # inherently non-relational ops (PMP heatmap, snippets, codec
@@ -7641,6 +7665,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rank, event_type, bucket_ts, x, ROUND(z, 6) AS z
             FROM ranked WHERE rank <= 20 ORDER BY rank
+        """,
+        # Holt linear: level/trend advanced one step per recursive
+        # iteration; 0.5/0.25/0.75 are exact binary fractions so each
+        # step is the identical double-expression pair the engine runs.
+        "holt_events_1h": f"""
+            WITH RECURSIVE b AS (
+                SELECT event_type,
+                       (epoch_us(ts) // {H1}) * {H1} AS bucket_ts,
+                       COUNT(*)::BIGINT AS x
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, x,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY bucket_ts
+                       ) - 1 AS i,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM b
+            ), r AS (
+                SELECT s0.event_type, 0::BIGINT AS i, s0.n,
+                       CAST(s0.x AS DOUBLE) AS l,
+                       CAST(s1.x AS DOUBLE) - s0.x AS t
+                FROM s s0 JOIN s s1
+                  ON s1.event_type = s0.event_type AND s1.i = 1
+                WHERE s0.i = 0
+                UNION ALL
+                SELECT event_type, i, n, ln AS l,
+                       0.25 * (ln - lprev) + 0.75 * tprev AS t
+                FROM (
+                    SELECT s2.event_type, s2.i, s2.n,
+                           0.5 * s2.x + 0.5 * (r.l + r.t) AS ln,
+                           r.l AS lprev, r.t AS tprev
+                    FROM r JOIN s s2
+                      ON s2.event_type = r.event_type
+                     AND s2.i = r.i + 1
+                )
+            ), fin AS (
+                SELECT event_type, n, l, t,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY i DESC
+                       ) AS rn
+                FROM r
+            )
+            SELECT event_type, n AS n_buckets,
+                   ROUND(l, 6) AS level, ROUND(t, 6) AS trend,
+                   ROUND(l + 24.0 * t, 6) AS forecast_24h
+            FROM fin WHERE rn = 1 ORDER BY event_type
         """,
         # time-series chains: left/right nearest neighbors from the
         # shared z-window mirror, bidirectional-consistency links, and

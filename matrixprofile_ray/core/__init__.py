@@ -62,6 +62,7 @@ from matrixprofile_ray.core.tsops import (
     cusum_alarms,
     ewma,
     exact_mu_sigma,
+    holt,
     lttb_indices,
     ols_trend,
 )

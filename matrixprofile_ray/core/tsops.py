@@ -203,3 +203,32 @@ def acf(x_int, lag: int) -> float:
     if den == 0.0:
         return 0.0
     return num / den
+
+
+def holt(x_int, alpha: float = 0.5, beta: float = 0.25):
+    """Holt linear (double exponential smoothing) over integer bucket
+    counts, with exact-binary-fraction coefficients (defaults 0.5/0.25)
+    so every recurrence step is the identical pair of double
+    expressions the recursive-CTE mirror evaluates:
+
+        l_0 = x_0;  b_0 = x_1 - x_0
+        l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1})
+        b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}
+
+    Returns (final level, final trend). Forecast h steps ahead is
+    ``level + h*trend`` (the caller applies it so the rounding point is
+    explicit).
+    """
+    xs = np.asarray(x_int)
+    if not np.issubdtype(xs.dtype, np.integer):
+        raise ValueError("holt expects integer bucket counts")
+    if len(xs) < 2:
+        raise ValueError("need at least 2 points")
+    ia, ib = 1.0 - alpha, 1.0 - beta
+    lev = float(xs[0])
+    tr = float(xs[1]) - float(xs[0])
+    for v in xs[1:]:
+        l_new = alpha * float(v) + ia * (lev + tr)
+        tr = beta * (l_new - lev) + ib * tr
+        lev = l_new
+    return lev, tr

@@ -168,3 +168,36 @@ class TestTrendAcf:
 
         with pytest.raises(ValueError):
             acf(np.arange(10, dtype=np.int64), 10)
+
+
+class TestHolt:
+    def test_perfect_line(self):
+        from matrixprofile_ray.core.tsops import holt
+
+        lev, tr = holt(np.arange(30, dtype=np.int64) * 3 + 11)
+        assert lev == float(11 + 29 * 3) and tr == 3.0
+
+    def test_recurrence_brute(self):
+        from matrixprofile_ray.core.tsops import holt
+
+        rng = np.random.default_rng(21)
+        x = rng.integers(0, 200, 60).astype(np.int64)
+        lev, tr = holt(x, alpha=0.5, beta=0.25)
+        lb, tb = float(x[0]), float(x[1]) - float(x[0])
+        for v in x[1:]:
+            ln = 0.5 * float(v) + 0.5 * (lb + tb)
+            tb = 0.25 * (ln - lb) + 0.75 * tb
+            lb = ln
+        assert lev == lb and tr == tb
+
+    def test_constant_series(self):
+        from matrixprofile_ray.core.tsops import holt
+
+        lev, tr = holt(np.full(20, 8, dtype=np.int64))
+        assert lev == 8.0 and tr == 0.0
+
+    def test_needs_two(self):
+        from matrixprofile_ray.core.tsops import holt
+
+        with pytest.raises(ValueError):
+            holt(np.array([1], dtype=np.int64))
